@@ -1,0 +1,191 @@
+"""Dense sorted feature table — the TPU-native replacement for the
+reference's hopscotch-style hash multimap (src/hash_multimap.h:192-1124)
+and its chunk allocator (src/chunk_allocator.h).
+
+Design (SURVEY.md §7): the build phase emits (feature u32, target i32,
+window i32) triples; a stable sort by feature produces runs that become a
+CSR structure:
+
+    keys[F]        sorted unique feature values (uint32)
+    offsets[F+1]   row offsets into the location arrays (int64 host/int32 dev)
+    loc_tgt[L]     target ids  (int32)
+    loc_win[L]     window ids  (int32)
+
+Query lookup is a vectorized ``searchsorted`` + bounded gather — no probing,
+no pointer chasing, perfectly batched for the VPU.
+
+Semantics preserved from the reference:
+  - per-feature location cap: the hash multimap keeps the FIRST
+    `max_locations_per_feature` locations in insertion order, which is
+    ascending (target, window) order (insert at src/hash_multimap.h:653 is
+    called in target order, then window order; shrink drops the tail) —
+    here: keep the first N entries of each sorted run.
+  - "removing" an overpopulated feature clears its values but keeps the key
+    (src/sketch_database.h:356-370) — here: drop the run entirely
+    (observable behavior is identical: lookups find nothing).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..config import FEATURE_SENTINEL
+
+
+@dataclasses.dataclass
+class FeatureTable:
+    keys: np.ndarray      # [F] uint32, strictly increasing
+    offsets: np.ndarray   # [F+1] int64
+    loc_tgt: np.ndarray   # [L] int32
+    loc_win: np.ndarray   # [L] int32
+
+    # ------------------------------------------------------------------ stats
+    @property
+    def num_keys(self) -> int:
+        return len(self.keys)
+
+    @property
+    def num_locations(self) -> int:
+        return len(self.loc_tgt)
+
+    def bucket_sizes(self) -> np.ndarray:
+        return np.diff(self.offsets)
+
+    # ------------------------------------------------------------------ build
+    @classmethod
+    def empty(cls) -> "FeatureTable":
+        return cls(keys=np.zeros(0, np.uint32), offsets=np.zeros(1, np.int64),
+                   loc_tgt=np.zeros(0, np.int32), loc_win=np.zeros(0, np.int32))
+
+    @classmethod
+    def from_triples(cls, features: np.ndarray, targets: np.ndarray,
+                     windows: np.ndarray, max_locs_per_feature: int,
+                     presorted_by_location: bool = True) -> "FeatureTable":
+        """Build from (feature, target, window) triples.
+
+        If `presorted_by_location` the triples are already in ascending
+        (target, window) order (true when targets are sketched in id order),
+        so a stable sort on the feature alone yields runs sorted by
+        (target, window) — the reference's per-bucket insertion order.
+        """
+        features = np.ascontiguousarray(features, dtype=np.uint32)
+        targets = np.ascontiguousarray(targets, dtype=np.int32)
+        windows = np.ascontiguousarray(windows, dtype=np.int32)
+        if not presorted_by_location:
+            order0 = np.lexsort((windows, targets))
+            features, targets, windows = (features[order0], targets[order0],
+                                          windows[order0])
+        order = np.argsort(features, kind="stable")
+        f = features[order]
+        t = targets[order]
+        w = windows[order]
+
+        keys, run_starts, counts = np.unique(f, return_index=True,
+                                             return_counts=True)
+        # cap each run at max_locs_per_feature, keeping the first entries
+        capped = np.minimum(counts, max_locs_per_feature)
+        offsets = np.zeros(len(keys) + 1, dtype=np.int64)
+        np.cumsum(capped, out=offsets[1:])
+        # gather kept entries: for run i, indices run_starts[i] + [0, capped[i])
+        idx = _run_local_indices(run_starts, capped) if len(keys) else \
+            np.zeros(0, np.int64)
+        return cls(keys=keys.astype(np.uint32), offsets=offsets,
+                   loc_tgt=t[idx], loc_win=w[idx])
+
+    def merge_with(self, other: "FeatureTable",
+                   max_locs_per_feature: int) -> "FeatureTable":
+        """Merge two tables (used by `modify` mode): re-cap per feature,
+        keeping ascending (target, window) order."""
+        f = np.concatenate([np.repeat(self.keys, self.bucket_sizes()),
+                            np.repeat(other.keys, other.bucket_sizes())])
+        t = np.concatenate([self.loc_tgt, other.loc_tgt])
+        w = np.concatenate([self.loc_win, other.loc_win])
+        return FeatureTable.from_triples(f, t, w, max_locs_per_feature,
+                                         presorted_by_location=False)
+
+    # ------------------------------------------------------- maintenance ops
+    def feature_counts(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(keys, counts) — the reference's get_keys_num_items dump
+        (src/sketch_database.h:1060-1075), used for the distributed
+        overpopulated-feature merge."""
+        return self.keys, self.bucket_sizes().astype(np.int64)
+
+    def remove_keys(self, keys_to_remove: np.ndarray) -> Tuple["FeatureTable", int]:
+        """Drop the given feature keys; returns (new_table, #removed).
+
+        Mirrors remove_features_with_more_locations_than_distributed
+        (src/sketch_database.h:397-414)."""
+        keys_to_remove = np.unique(np.asarray(keys_to_remove, dtype=np.uint32))
+        mask = np.isin(self.keys, keys_to_remove)
+        return self._filter_runs(~mask), int(mask.sum())
+
+    def remove_overpopulated(self, max_locs: int) -> Tuple["FeatureTable", int]:
+        """Drop features with more than `max_locs` locations
+        (remove_features_with_more_locations_than,
+        src/sketch_database.h:380-394)."""
+        mask = self.bucket_sizes() > max_locs
+        return self._filter_runs(~mask), int(mask.sum())
+
+    def remove_ambiguous(self, target_to_group: np.ndarray,
+                         max_groups: int) -> Tuple["FeatureTable", int]:
+        """Drop features whose locations span more than `max_groups` distinct
+        groups (groups = targets, or taxa on a rank) —
+        remove_ambiguous_features (src/sketch_database.h:423-470)."""
+        max_groups = max(1, int(max_groups))
+        sizes = self.bucket_sizes()
+        feat_of_loc = np.repeat(np.arange(self.num_keys), sizes)
+        grp = target_to_group[self.loc_tgt]
+        # distinct groups per feature: sort (feat, grp) pairs, count run breaks
+        order = np.lexsort((grp, feat_of_loc))
+        fo, go = feat_of_loc[order], grp[order]
+        newpair = np.ones(len(fo), dtype=bool)
+        newpair[1:] = (fo[1:] != fo[:-1]) | (go[1:] != go[:-1])
+        distinct = np.bincount(fo[newpair], minlength=self.num_keys)
+        mask = distinct > max_groups
+        return self._filter_runs(~mask), int(mask.sum())
+
+    def _filter_runs(self, keep: np.ndarray) -> "FeatureTable":
+        sizes = self.bucket_sizes()
+        loc_keep = np.repeat(keep, sizes)
+        new_counts = sizes[keep]
+        offsets = np.zeros(keep.sum() + 1, dtype=np.int64)
+        np.cumsum(new_counts, out=offsets[1:])
+        return FeatureTable(keys=self.keys[keep], offsets=offsets,
+                            loc_tgt=self.loc_tgt[loc_keep],
+                            loc_win=self.loc_win[loc_keep])
+
+    # ------------------------------------------------------------ device view
+    def device_arrays(self, pad_keys_to: Optional[int] = None,
+                      pad_locs_to: Optional[int] = None):
+        """Arrays padded for fixed-shape device use.
+
+        keys are padded with FEATURE_SENTINEL (sorts last, never queried
+        successfully because a sentinel feature is masked out); offsets are
+        padded with the final offset so padded rows have zero length.
+        """
+        F = pad_keys_to if pad_keys_to is not None else self.num_keys
+        L = pad_locs_to if pad_locs_to is not None else self.num_locations
+        if F < self.num_keys or L < self.num_locations:
+            raise ValueError("pad size smaller than table")
+        keys = np.full(F, FEATURE_SENTINEL, dtype=np.uint32)
+        keys[:self.num_keys] = self.keys
+        offsets = np.full(F + 1, self.offsets[-1], dtype=np.int64)
+        offsets[:len(self.offsets)] = self.offsets
+        tgt = np.zeros(L, dtype=np.int32)
+        tgt[:self.num_locations] = self.loc_tgt
+        win = np.zeros(L, dtype=np.int32)
+        win[:self.num_locations] = self.loc_win
+        return keys, offsets.astype(np.int32 if self.offsets[-1] < 2**31
+                                    else np.int64), tgt, win
+
+
+def _run_local_indices(run_starts: np.ndarray, capped: np.ndarray) -> np.ndarray:
+    """Global indices selecting the first capped[i] elements of each run."""
+    total = int(capped.sum())
+    out_run = np.repeat(np.arange(len(run_starts)), capped)
+    cum = np.zeros(len(run_starts), dtype=np.int64)
+    np.cumsum(capped[:-1], out=cum[1:])
+    local = np.arange(total, dtype=np.int64) - cum[out_run]
+    return run_starts[out_run] + local
