@@ -42,7 +42,7 @@ def _lower_bound_pairs(tgt, win, q_tgt, q_win):
     int32 (no packing into 64-bit keys needed on TPU).
     """
     B, L = tgt.shape
-    steps = max(1, (L - 1).bit_length())
+    steps = max(1, L.bit_length())  # interval size L needs ceil(log2(L))+1 halvings
     lo = jnp.zeros_like(q_tgt)
     hi = jnp.full_like(q_tgt, L)
     for _ in range(steps):
@@ -148,24 +148,34 @@ def merge_candidate_lists(cand_a, cand_b, max_candidates: int):
 
 
 def _dedup_topk(tax, hits, beg, end, tgt, max_candidates: int):
+    """Dedup by taxon then order by (hits desc, winning target id asc).
+
+    The target-id tie key is global, so merging per-shard lists commutes
+    with single-shard candidate generation (the reference's tree merge is
+    tie-UNstable across shard counts — std::upper_bound insertion at
+    querying.h:958-971; we define the deterministic order instead).
+    """
     B, L = tax.shape
-    pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
     key = jnp.where(tax > 0, tax, _BIG)
-    s_key, s_neg, s_pos, s_hits, s_beg, s_end, s_tgt = jax.lax.sort(
-        (key, -hits, pos, hits, beg, end, tgt), dimension=1, num_keys=3,
+    # dedup winner per taxon: max hits, smallest target id on ties
+    s_key, s_neg, s_tgt, s_hits, s_beg, s_end = jax.lax.sort(
+        (key, -hits, tgt, hits, beg, end), dimension=1, num_keys=3,
         is_stable=False)
     first = jnp.concatenate(
         [jnp.ones((B, 1), dtype=jnp.bool_), s_key[:, 1:] != s_key[:, :-1]],
         axis=1)
     winner = first & (s_key != _BIG)
-    score = jnp.where(winner, s_hits * (2 * L) + (2 * L - 1 - s_pos), -1)
-    _, top_idx = jax.lax.top_k(score, max_candidates)
-    take = lambda a: jnp.take_along_axis(a, top_idx, axis=1)
-    ok = take(score) >= 0
+    o_neg = jnp.where(winner, -s_hits, _BIG)
+    o_tgt = jnp.where(winner, s_tgt, _BIG)
+    f_neg, f_tgt, f_key, f_hits, f_beg, f_end = jax.lax.sort(
+        (o_neg, o_tgt, s_key, s_hits, s_beg, s_end), dimension=1, num_keys=2,
+        is_stable=False)
+    ok = f_neg[:, :max_candidates] != _BIG
+    cut = lambda a: jnp.where(ok, a[:, :max_candidates], 0)
     return {
-        "tax": jnp.where(ok, take(s_key), 0),
-        "hits": jnp.where(ok, take(s_hits), 0),
-        "beg": jnp.where(ok, take(s_beg), 0),
-        "end": jnp.where(ok, take(s_end), 0),
-        "tgt": jnp.where(ok, take(s_tgt), TARGET_SENTINEL),
+        "tax": cut(f_key),
+        "hits": cut(f_hits),
+        "beg": cut(f_beg),
+        "end": cut(f_end),
+        "tgt": jnp.where(ok, f_tgt[:, :max_candidates], TARGET_SENTINEL),
     }

@@ -1,0 +1,72 @@
+"""LCA-vote classification over candidate lists — vectorized on device.
+
+Reference: classify() (src/classification.cpp:235-265):
+  - unclassified if no candidates or top candidate hits < hitsMin
+  - threshold = (hits0 - hitsMin) * hitsDiffFraction  if hits0 > hitsMin else 0
+  - walk candidates 2..C in order; while hits > threshold, fold the
+    candidate into a ranked LCA; stop at the first candidate at/below the
+    threshold; unclassified if the LCA climbs above highestRank.
+
+Vectorized formulation: ranked_lca(a, b) on dense ranked lineages is the
+elementwise intersection mask — the common entries of two consistent
+lineages are exactly the lineage of their LCA (SURVEY.md §2 #9). The fold
+is an unrolled loop over the (static, small) candidate count; the final
+taxon is the first nonzero lane of the folded lineage.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("highest_rank",))
+def classify_lca(cand_tax, cand_hits, ranked_lineage, hits_min,
+                 hits_diff_fraction, highest_rank: int):
+    """Classify each read from its candidate list.
+
+    Args:
+      cand_tax:  [B, C] int32 candidate taxon node indices (0 = empty slot),
+                 sorted by hits descending
+      cand_hits: [B, C] int32
+      ranked_lineage: [N, R] int32 node index of ancestor per rank (0=none);
+                 row 0 must be all zeros
+      hits_min:  int32 scalar (already resolved from sketch size)
+      hits_diff_fraction: float32 scalar
+      highest_rank: static int rank code (classification stops above this)
+
+    Returns:
+      (best_node, best_rank): [B] int32 each; best_node==0 => unclassified,
+      in which case best_rank == NUM_RANKS (the 'none' code).
+    """
+    B, C = cand_tax.shape
+    R = ranked_lineage.shape[1]
+
+    hits0 = cand_hits[:, 0]
+    has_top = cand_tax[:, 0] > 0
+    classifiable = has_top & (hits0 >= hits_min)
+
+    thr = jnp.where(
+        hits0 > hits_min,
+        (hits0 - hits_min).astype(jnp.float32) * hits_diff_fraction,
+        jnp.float32(0.0))
+
+    lin = ranked_lineage[cand_tax[:, 0]]          # [B, R]
+    include_prefix = jnp.ones((B,), dtype=bool)
+    for i in range(1, C):
+        inc = include_prefix & (cand_hits[:, i].astype(jnp.float32) > thr) \
+            & (cand_tax[:, i] > 0)
+        lin_i = ranked_lineage[cand_tax[:, i]]
+        folded = jnp.where(lin == lin_i, lin, 0)
+        lin = jnp.where(inc[:, None], folded, lin)
+        include_prefix = inc
+
+    nonzero = lin != 0
+    any_nz = nonzero.any(axis=1)
+    first = jnp.argmax(nonzero, axis=1).astype(jnp.int32)
+    best_node = jnp.take_along_axis(lin, first[:, None], axis=1)[:, 0]
+    ok = classifiable & any_nz & (first <= highest_rank)
+    best_node = jnp.where(ok, best_node, 0)
+    best_rank = jnp.where(ok, first, R)
+    return best_node, best_rank
