@@ -1,0 +1,268 @@
+"""Database build pipeline: FASTA/FASTQ genomes -> sketches -> feature table.
+
+The TPU-native analogue of mode_build's add_to_database
+(src/mode_build.cpp:559-843):
+  - input files are sorted so every shard agrees on the target order
+    (src/mode_build.cpp:570-575)
+  - every shard sees every sequence, but only sketches target t when
+    ``t % num_shards == shard_id`` (add_target_distributed,
+    src/sketch_database.h:519-563); taxonomy + target metadata are
+    replicated
+  - sequence-level taxa get negative ids ``-(t+1)``
+    (src/sketch_database.h:149-150)
+  - parent taxid resolution: header accession / accession.version / taxid
+    extraction + mapping files (try_to_rank_unranked_targets,
+    src/mode_build.cpp:414-539)
+  - overpopulated-feature removal uses counts merged across ALL shards
+    (the log2(P) tree merge + bcast at mode_build.cpp:847-1074) — here a
+    host-side sum over shard count dumps.
+
+Sketching runs on device in fixed-shape window batches: windows of all
+sequences are packed into [BATCH, window_size] uint8 tensors; one
+`sketch_windows` call per batch; triples accumulate in host numpy buffers.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import BuildParams, SketchParams, FEATURE_SENTINEL
+from ..io import sequence_io, taxonomy_io
+from ..ops import encode, sketch
+from .database import Database
+from .feature_table import FeatureTable
+from .taxonomy import NONE_TAXID, Rank, Taxonomy
+
+#: windows per device batch during build
+BUILD_WINDOW_BATCH = 1024
+
+
+class TripleAccumulator:
+    """Chunked growing buffers for (feature, target, window) triples."""
+
+    def __init__(self):
+        self._chunks: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+
+    def add(self, f: np.ndarray, t: np.ndarray, w: np.ndarray):
+        self._chunks.append((f, t, w))
+
+    def concat(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if not self._chunks:
+            z = np.zeros(0, np.uint32), np.zeros(0, np.int32), np.zeros(0, np.int32)
+            return z
+        f = np.concatenate([c[0] for c in self._chunks])
+        t = np.concatenate([c[1] for c in self._chunks])
+        w = np.concatenate([c[2] for c in self._chunks])
+        return f, t, w
+
+
+class WindowBatcher:
+    """Packs per-sequence windows into fixed-shape device batches and turns
+    the resulting sketches into triples."""
+
+    def __init__(self, params: SketchParams, triples: TripleAccumulator,
+                 batch_size: int = BUILD_WINDOW_BATCH):
+        self.p = params
+        self.triples = triples
+        self.batch_size = batch_size
+        self._codes = np.full((batch_size, params.window_size), 255, np.uint8)
+        self._lens = np.zeros(batch_size, np.int32)
+        self._tgt = np.zeros(batch_size, np.int32)
+        self._win = np.zeros(batch_size, np.int32)
+        self._n = 0
+
+    def add_sequence(self, seq_codes: np.ndarray, target_id: int) -> int:
+        """Queue all windows of one sequence; returns the window count
+        (incl. tail windows — for_each_window, src/dna_encoding.h:261-276)."""
+        starts = encode.window_starts(len(seq_codes), self.p.window_size,
+                                      self.p.window_stride)
+        for wi, s in enumerate(starts):
+            chunk = seq_codes[s:s + self.p.window_size]
+            i = self._n
+            self._codes[i, :len(chunk)] = chunk
+            self._codes[i, len(chunk):] = 255
+            self._lens[i] = len(chunk)
+            self._tgt[i] = target_id
+            self._win[i] = wi
+            self._n += 1
+            if self._n == self.batch_size:
+                self.flush()
+        return len(starts)
+
+    def flush(self):
+        if self._n == 0:
+            return
+        n = self._n
+        sk = np.asarray(sketch.sketch_windows(
+            self._codes, self._lens, self.p.kmer_size, self.p.sketch_size))
+        sk = sk[:n]
+        valid = sk != FEATURE_SENTINEL
+        counts = valid.sum(axis=1)
+        f = sk[valid]
+        t = np.repeat(self._tgt[:n], counts)
+        w = np.repeat(self._win[:n], counts)
+        self.triples.add(f.astype(np.uint32), t.astype(np.int32),
+                         w.astype(np.int32))
+        self._n = 0
+
+
+@dataclasses.dataclass
+class BuildOptions:
+    """mode_build options (src/mode_build.cpp:63-138)."""
+    params: BuildParams = dataclasses.field(default_factory=BuildParams)
+    taxonomy_nodes: str = ""
+    taxonomy_names: str = ""
+    taxonomy_merged: str = ""
+    # mapping files applied while reading sequences (same dir as inputs)
+    sequence_id_mappings: Tuple[str, ...] = (
+        "assembly_summary.txt",)
+    # post-build accession -> taxid mapping files
+    taxpostmap: Tuple[str, ...] = ()
+    reset_parents: bool = False
+
+
+def gather_input_files(infiles: Sequence[str], max_depth: int = 10) -> List[str]:
+    """Expand directories recursively (filesys_utility, depth 10 as in
+    docs/build.txt:12) and sort — all shards must agree on target order
+    (mode_build.cpp:570-575)."""
+    out: List[str] = []
+    for f in infiles:
+        if os.path.isdir(f):
+            for root, dirs, files in os.walk(f):
+                depth = root[len(f):].count(os.sep)
+                if depth >= max_depth:
+                    dirs[:] = []
+                    continue
+                for name in files:
+                    out.append(os.path.join(root, name))
+        else:
+            out.append(f)
+    return sorted(out)
+
+
+def resolve_parent_taxid(header: str,
+                         seq2taxid: Dict[str, int],
+                         taxonomy: Taxonomy) -> int:
+    """Find a parent taxid for a sequence from its header
+    (extract_taxon_id / accession lookups; mode_build.cpp:300-380 semantics).
+    """
+    tid = sequence_io.extract_taxon_id(header)
+    if tid and taxonomy.node_of_id(tid):
+        return tid
+    for key in (sequence_io.extract_ncbi_accession_version(header),
+                sequence_io.extract_ncbi_accession(header),
+                header.split(" ")[0] if header else ""):
+        if key and key in seq2taxid:
+            return seq2taxid[key]
+    return NONE_TAXID
+
+
+def build_database(infiles: Sequence[str], opt: BuildOptions,
+                   num_shards: int = 1, shard_id: int = 0,
+                   progress=None) -> Database:
+    """Build one shard of the database (main_mode_build flow,
+    src/mode_build.cpp:1145-1175 + add_to_database :797-843)."""
+    p = opt.params.sketch
+
+    taxonomy = taxonomy_io.make_taxonomic_hierarchy(
+        opt.taxonomy_nodes, opt.taxonomy_names, opt.taxonomy_merged) \
+        if opt.taxonomy_nodes else Taxonomy()
+    if not taxonomy.node_of_id(1):
+        taxonomy.add_node(1, 1, "root", Rank.ROOT)
+
+    files = gather_input_files(infiles)
+    seq2taxid = taxonomy_io.make_sequence_to_taxon_id_map(
+        opt.sequence_id_mappings, files)
+
+    triples = TripleAccumulator()
+    batcher = WindowBatcher(p, triples)
+
+    target_nodes: List[int] = []
+    seen_names = set()
+    for path in files:
+        try:
+            records = sequence_io.read_sequences(path)
+            for rec in records:
+                sid = sequence_io.extract_accession_string(rec.header) \
+                    or rec.header.split(" ")[0] or rec.header
+                if not rec.data or sid in seen_names:
+                    continue
+                seen_names.add(sid)
+                tgt = len(target_nodes)
+                taxid = -(tgt + 1)  # sequence-level taxon id
+                parent = resolve_parent_taxid(rec.header, seq2taxid, taxonomy)
+                windows = 0
+                if tgt % num_shards == shard_id:
+                    codes = encode.np_encode_bytes(
+                        np.frombuffer(rec.data.encode(), dtype=np.uint8))
+                    windows = batcher.add_sequence(codes, tgt)
+                node = taxonomy.add_node(
+                    taxid, parent if parent else NONE_TAXID, sid,
+                    Rank.SEQUENCE, source_filename=path,
+                    source_index=rec.index, source_windows=windows)
+                target_nodes.append(node)
+                if progress:
+                    progress(path, tgt)
+        except sequence_io.FormatError as e:
+            # per-file errors are caught and logged (mode_build.cpp:630-643)
+            print(f"FAIL: {path}: {e}")
+    batcher.flush()
+
+    # post-build taxon mapping files (taxpostmap)
+    if opt.taxpostmap:
+        post_map: Dict[str, int] = {}
+        for mf in opt.taxpostmap:
+            taxonomy_io.read_sequence_to_taxon_id_mapping(mf, post_map)
+        rank_unranked_targets(taxonomy, target_nodes, post_map)
+
+    f, t, w = triples.concat()
+    ft = FeatureTable.from_triples(
+        f, t, w, opt.params.max_locations_per_feature)
+
+    db = Database(
+        sketch_params=p, query_sketch_params=p,
+        max_locations_per_feature=opt.params.max_locations_per_feature,
+        taxonomy=taxonomy,
+        target_taxon_node=np.array(target_nodes, dtype=np.int32),
+        features=ft, num_shards=num_shards, shard_id=shard_id)
+
+    if opt.params.remove_ambig_features_rank:
+        from .taxonomy import rank_from_name
+        r = rank_from_name(opt.params.remove_ambig_features_rank)
+        if r != Rank.NONE:
+            db.remove_ambiguous_features(r, opt.params.max_taxa_per_feature)
+
+    return db
+
+
+def rank_unranked_targets(taxonomy: Taxonomy, target_nodes: List[int],
+                          mapping: Dict[str, int]):
+    """Attach parents to unranked sequence-level taxa from accession->taxid
+    maps (try_to_rank_unranked_targets, mode_build.cpp:414-539)."""
+    for node in target_nodes:
+        if taxonomy.parent_taxid[node] != NONE_TAXID:
+            continue
+        name = taxonomy.names[node]
+        for key in (name,
+                    sequence_io.extract_ncbi_accession_version(name),
+                    sequence_io.extract_ncbi_accession(name)):
+            if key and key in mapping:
+                taxonomy.parent_taxid[node] = mapping[key]
+                taxonomy._lineage_cache = None
+                break
+
+
+def merge_shard_feature_counts(
+        shard_tables: Iterable[FeatureTable]) -> Dict[int, int]:
+    """Global feature -> location-count map, the host-side analogue of the
+    reference's log2(P) tree merge of (key, count) dumps
+    (mode_build.cpp:865-1024)."""
+    total: Dict[int, int] = {}
+    for ft in shard_tables:
+        keys, counts = ft.feature_counts()
+        for k, c in zip(keys.tolist(), counts.tolist()):
+            total[k] = total.get(k, 0) + c
+    return total

@@ -1,0 +1,180 @@
+"""Query engine: batched on-device read classification.
+
+The TPU-native replacement for the reference's MPI+thread query engine
+(query_batched_parallel2, src/querying.h:721-1173). Instead of per-thread
+read blocks and a log2(P) candidate tree reduce, the pipeline is:
+
+  host: stream reads -> pad into fixed [B, Lq] uint8 byte tensors
+  device (one jitted program):
+      encode -> per-window sketches -> feature lookup over the shard's
+      feature table -> sorted match lists -> contiguous-window-range
+      candidates -> (multi-shard: all-gather + deterministic merge) ->
+      ranked-LCA classification
+  host: format per-read output, accumulate statistics
+
+Paired-end reads contribute the features of both mates to one match list
+(accumulate_matches called for seq1 and seq2, src/querying.h:787-790), and
+maxWindowsInRange is derived from the pair's combined length
+(src/classification.cpp:217-219).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (ClassifyParams, FEATURE_SENTINEL, QueryPipelineParams,
+                      TARGET_SENTINEL)
+from ..db.database import Database
+from ..db.taxonomy import Rank
+from ..ops import candidates as cand_ops
+from ..ops import classify_op, encode, lookup, sketch
+
+
+def _window_starts_static(max_len: int, window: int, stride: int) -> List[int]:
+    """Static window start offsets covering reads up to max_len chars.
+
+    Per-read window structure falls out automatically: windows starting at
+    or beyond a read's length contain only padding (ambiguous) characters
+    and contribute no features.
+    """
+    return [int(s) for s in encode.window_starts(max_len, window, stride)]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "sketch_size", "window_size", "starts", "lmax",
+                     "max_candidates", "highest_rank", "window_stride",
+                     "insert_size_max"))
+def _query_batch_device(codes1, lens1, codes2, lens2,
+                        keys, offsets, loc_tgt, loc_win, target_cand_tax,
+                        ranked_lineage, hits_min, hits_diff,
+                        *, k: int, sketch_size: int, window_size: int,
+                        window_stride: int, starts: Tuple[int, ...],
+                        lmax: int, max_candidates: int, highest_rank: int,
+                        insert_size_max: int):
+    """One fused device program: reads -> classification."""
+    B, Lq = codes1.shape
+    feats = []
+    for codes, lens in ((codes1, lens1), (codes2, lens2)):
+        for s in starts:
+            wcodes = codes[:, s:s + window_size]
+            if wcodes.shape[1] < window_size:
+                pad = jnp.full((B, window_size - wcodes.shape[1]), 255,
+                               dtype=jnp.uint8)
+                wcodes = jnp.concatenate([wcodes, pad], axis=1)
+            wlen = jnp.clip(lens - s, 0, window_size)
+            feats.append(sketch.sketch_windows(wcodes, wlen, k, sketch_size))
+    features = jnp.concatenate(feats, axis=1)
+
+    tgt, win, total, overflow = lookup.lookup_matches(
+        features, keys, offsets, loc_tgt, loc_win, lmax)
+
+    # maxWindowsInRange = 2 + max(len1+len2, insertSizeMax) / winstride
+    # (src/classification.cpp:217-219)
+    pair_len = jnp.maximum(lens1 + lens2, insert_size_max)
+    num_windows = (2 + pair_len // window_stride).astype(jnp.int32)
+
+    cand = cand_ops.generate_candidates(tgt, win, num_windows,
+                                        target_cand_tax, max_candidates)
+    best, best_rank = classify_op.classify_lca(
+        cand["tax"], cand["hits"], ranked_lineage, hits_min, hits_diff,
+        highest_rank)
+    return {"cand": cand, "best": best, "best_rank": best_rank,
+            "match_total": total, "match_overflow": overflow}
+
+
+@dataclasses.dataclass
+class BatchResult:
+    """Host-side result of one classified batch (first n valid)."""
+    n: int
+    cand_tax: np.ndarray     # [B, C] taxonomy node indices
+    cand_hits: np.ndarray
+    cand_beg: np.ndarray
+    cand_end: np.ndarray
+    cand_tgt: np.ndarray
+    best: np.ndarray         # [B] node index, 0 = unclassified
+    best_rank: np.ndarray    # [B]
+    match_overflow: np.ndarray
+
+
+class QueryEngine:
+    """Holds device-resident database arrays + compiled pipeline."""
+
+    def __init__(self, db: Database, classify: ClassifyParams,
+                 pipeline: QueryPipelineParams = QueryPipelineParams(),
+                 devices=None):
+        self.db = db
+        self.classify = classify
+        self.pipeline = pipeline
+        p = db.query_sketch_params
+        self.sketch_params = p
+        self.hits_min = classify.resolved_hits_min(p.sketch_size)
+        self.lowest_rank = Rank.SEQUENCE if classify.lowest_rank is None \
+            else _rank_code(classify.lowest_rank)
+        self.highest_rank = _rank_code(classify.highest_rank)
+        self.starts = tuple(_window_starts_static(
+            pipeline.max_query_len, p.window_size, p.window_stride))
+
+        keys, offsets, loc_tgt, loc_win = db.features.device_arrays()
+        self._keys = jnp.asarray(keys)
+        self._offsets = jnp.asarray(offsets)
+        self._loc_tgt = jnp.asarray(loc_tgt)
+        self._loc_win = jnp.asarray(loc_win)
+        self._tct = jnp.asarray(db.target_cand_tax(self.lowest_rank))
+        self._lineage = jnp.asarray(db.taxonomy.ranked_lineage)
+
+    # ------------------------------------------------------------- batching
+    def make_host_buffers(self):
+        B, L = self.pipeline.batch_size, self.pipeline.max_query_len
+        return (np.zeros((B, L), np.uint8), np.zeros(B, np.int32),
+                np.zeros((B, L), np.uint8), np.zeros(B, np.int32))
+
+    def classify_batch(self, codes1, lens1, codes2, lens2, n: int
+                       ) -> BatchResult:
+        """Classify a (padded) batch; first `n` rows are valid reads."""
+        out = _query_batch_device(
+            codes1, lens1, codes2, lens2,
+            self._keys, self._offsets, self._loc_tgt, self._loc_win,
+            self._tct, self._lineage,
+            jnp.int32(self.hits_min),
+            jnp.float32(self.classify.hits_diff_fraction),
+            k=self.sketch_params.kmer_size,
+            sketch_size=self.sketch_params.sketch_size,
+            window_size=self.sketch_params.window_size,
+            window_stride=self.sketch_params.window_stride,
+            starts=self.starts,
+            lmax=self.pipeline.max_locations_per_query,
+            max_candidates=self.classify.max_candidates,
+            highest_rank=self.highest_rank,
+            insert_size_max=self.classify.insert_size_max)
+        cand = out["cand"]
+        return BatchResult(
+            n=n,
+            cand_tax=np.asarray(cand["tax"]), cand_hits=np.asarray(cand["hits"]),
+            cand_beg=np.asarray(cand["beg"]), cand_end=np.asarray(cand["end"]),
+            cand_tgt=np.asarray(cand["tgt"]),
+            best=np.asarray(out["best"]),
+            best_rank=np.asarray(out["best_rank"]),
+            match_overflow=np.asarray(out["match_overflow"]))
+
+
+def _rank_code(rank) -> int:
+    if isinstance(rank, int):
+        return rank
+    from ..db.taxonomy import rank_from_name
+    return rank_from_name(rank)
+
+
+def encode_read_into(buf_codes: np.ndarray, buf_lens: np.ndarray, row: int,
+                     data: str, max_len: int):
+    """Encode one read into a host batch buffer row (truncating at max_len)."""
+    raw = np.frombuffer(data[:max_len].encode(), dtype=np.uint8)
+    codes = encode.np_encode_bytes(raw)
+    buf_codes[row, :len(codes)] = codes
+    buf_codes[row, len(codes):] = 255
+    buf_lens[row] = len(codes)
