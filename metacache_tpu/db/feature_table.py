@@ -94,6 +94,30 @@ class FeatureTable:
         return cls(keys=keys.astype(np.uint32), offsets=offsets,
                    loc_tgt=t[idx], loc_win=w[idx])
 
+    @classmethod
+    def concat_shards(cls, tables: List["FeatureTable"]) -> "FeatureTable":
+        """Concatenate shard tables WITHOUT re-applying the location cap.
+
+        The shards partition targets, so per-feature runs from different
+        shards are disjoint in targets; merging them and querying the union
+        gives exactly the per-shard-lookup + candidate-merge result (each
+        target's hits are complete within its own shard). The per-shard
+        location cap stays as applied at build time — the reference's
+        behavior (cap per rank, sketch_database.h:1079-1097)."""
+        if not tables:
+            return cls.empty()
+        f = np.concatenate([np.repeat(t.keys, t.bucket_sizes())
+                            for t in tables])
+        tg = np.concatenate([t.loc_tgt for t in tables])
+        w = np.concatenate([t.loc_win for t in tables])
+        order = np.lexsort((w, tg, f))
+        f, tg, w = f[order], tg[order], w[order]
+        keys, counts = np.unique(f, return_counts=True)
+        offsets = np.zeros(len(keys) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        return cls(keys=keys.astype(np.uint32), offsets=offsets,
+                   loc_tgt=tg, loc_win=w)
+
     def merge_with(self, other: "FeatureTable",
                    max_locs_per_feature: int) -> "FeatureTable":
         """Merge two tables (used by `modify` mode): re-cap per feature,

@@ -1,0 +1,87 @@
+"""Build mode CLI driver (main_mode_build, src/mode_build.cpp:1145-1175)."""
+from __future__ import annotations
+
+import os
+import sys
+from typing import List
+
+from ..config import BuildParams, SketchParams
+from ..db import build as build_mod
+from ..db.taxonomy import Rank, rank_from_name
+from ..utils import ArgsParser, Timer
+
+
+def get_build_options(args: ArgsParser) -> build_mod.BuildOptions:
+    """(get_build_options, src/mode_build.cpp:93-138)"""
+    kmerlen = args.get("kmerlen", 16, int)
+    sketchlen = args.get("sketchlen", 16, int)
+    winlen = args.get("winlen", 128, int)
+    winstride = args.get("winstride", winlen - kmerlen + 1, int)
+    maxlocs = args.get(["max-locations-per-feature",
+                        "max_locations_per_feature"], 254, int)
+    params = BuildParams(
+        sketch=SketchParams(kmerlen, sketchlen, winlen, winstride),
+        max_locations_per_feature=min(max(1, maxlocs), 254),
+        remove_overpopulated_features=args.contains(
+            ["remove-overpopulated-features",
+             "remove_overpopulated_features"]),
+        remove_ambig_features_rank=args.get(
+            ["remove-ambig-features", "remove_ambig_features"], None),
+        max_taxa_per_feature=args.get(
+            ["max-ambig-per-feature", "max_ambig_per_feature"], 1, int))
+
+    taxdir = args.get("taxonomy", "")
+    opt = build_mod.BuildOptions(
+        params=params,
+        taxonomy_nodes=os.path.join(taxdir, "nodes.dmp") if taxdir else "",
+        taxonomy_names=os.path.join(taxdir, "names.dmp") if taxdir else "",
+        taxonomy_merged=os.path.join(taxdir, "merged.dmp") if taxdir else "",
+        taxpostmap=tuple(args.get_all("taxpostmap")),
+        reset_parents=args.contains(["reset-parents", "reset_parents"]))
+    return opt
+
+
+def main_mode_build(args: ArgsParser, num_shards: int = 1,
+                    shard_id: int = 0) -> int:
+    if len(args.positionals) < 3:
+        print("usage: metacache build <database> <sequence files/dirs...> "
+              "OPTIONS", file=sys.stderr)
+        return 1
+    dbfile = args.positionals[1]
+    infiles = args.positionals[2:]
+    opt = get_build_options(args)
+    # allow overriding shard layout for single-host multi-shard builds
+    num_shards = args.get(["num-shards", "num_shards"], num_shards, int)
+
+    timer = Timer()
+    timer.start()
+    shard_dbs = []
+    for s in (range(num_shards) if shard_id < 0 or num_shards > 1
+              else [shard_id]):
+        db = build_mod.build_database(infiles, opt, num_shards=num_shards,
+                                      shard_id=s)
+        shard_dbs.append(db)
+
+    if opt.params.remove_overpopulated_features:
+        # global counts across shards (mode_build.cpp:847-1074)
+        counts = build_mod.merge_shard_feature_counts(
+            [d.features for d in shard_dbs])
+        maxlocs = opt.params.max_locations_per_feature
+        for db in shard_dbs:
+            rem = db.remove_overpopulated_features(maxlocs,
+                                                   global_counts=counts)
+            print(f"Removed {rem} overpopulated features in shard "
+                  f"{db.shard_id}.")
+
+    for db in shard_dbs:
+        path = db.save(dbfile)
+        print(f"Writing database to file '{path}' ... done.")
+    timer.stop()
+    print(f"Total build time: {timer.seconds():.3f} s")
+
+    if shard_dbs:
+        props = shard_dbs[0].properties()
+        print("------------------------------------------------")
+        for k, v in props.items():
+            print(f"{k:<22}{v}")
+    return 0

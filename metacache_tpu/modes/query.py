@@ -1,0 +1,387 @@
+"""Query mode: load database shard(s), classify read files, write output.
+
+The analogue of main_mode_query + process_input_files
+(src/mode_query.cpp:55-455) and the per-read driver of
+map_queries_to_targets_parallel (src/classification.cpp:653-767).
+"""
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import sys
+from typing import Dict, List, Optional, TextIO, Tuple
+
+import numpy as np
+
+from ..config import ClassifyParams, QueryPipelineParams
+from ..db.database import Database, shard_path
+from ..db.feature_table import FeatureTable
+from ..db.taxonomy import Rank, rank_from_name, rank_name
+from ..io import sequence_io
+from ..query import abundance as abundance_mod
+from ..query import output as out_mod
+from ..query.engine import QueryEngine, encode_read_into
+from ..query.stats import ClassificationStatistics
+from ..utils import ArgsParser, Timer
+
+
+@dataclasses.dataclass
+class EvaluationOptions:
+    """(src/query_options.h:144-154)"""
+    precision: bool = False
+    taxon_coverage: bool = False
+    exclude_rank: int = Rank.NONE
+    determine_ground_truth: bool = False
+
+
+@dataclasses.dataclass
+class QueryModeOptions:
+    pairing: str = "none"               # none | files | sequences
+    query_limit: int = -1
+    classify: ClassifyParams = dataclasses.field(default_factory=ClassifyParams)
+    evaluate: EvaluationOptions = dataclasses.field(
+        default_factory=EvaluationOptions)
+    output: out_mod.OutputOptions = dataclasses.field(
+        default_factory=out_mod.OutputOptions)
+    pipeline: QueryPipelineParams = dataclasses.field(
+        default_factory=QueryPipelineParams)
+
+
+def get_query_options(args: ArgsParser, defaults: QueryModeOptions = None
+                      ) -> QueryModeOptions:
+    """Flag harvesting mirroring get_query_options
+    (src/query_options.cpp:41-387), same flag aliases."""
+    opt = defaults or QueryModeOptions()
+
+    if args.contains("pairfiles") or args.contains(
+            ["pair-files", "pair_files", "paired_files", "paired-files"]):
+        opt.pairing = "files"
+    elif args.contains(["pairseq", "pair-seq", "pair_seq", "paired_seq",
+                        "paired-seq"]):
+        opt.pairing = "sequences"
+
+    opt.query_limit = args.get(["query-limit", "query_limit"], -1, int)
+
+    c = opt.classify
+    lowest = args.get("lowest", "")
+    lowest_rank = c.lowest_rank
+    if lowest:
+        r = rank_from_name(lowest)
+        if r < Rank.ROOT:
+            lowest_rank = r
+    highest = args.get("highest", "")
+    highest_rank = c.highest_rank
+    if highest:
+        r = rank_from_name(highest)
+        if r <= Rank.ROOT:
+            highest_rank = r
+    lowest_code = _code(lowest_rank)
+    highest_code = _code(highest_rank)
+    if lowest_code > highest_code:
+        lowest_code = highest_code
+    hitsdiff = args.get(["hitdiff", "hit-diff", "hit_diff", "hitsdiff",
+                         "hits-diff", "hits_diff"], None, float)
+    if hitsdiff is not None:
+        # percentages > 1 are divided by 100 (query_options.cpp:166-172)
+        if hitsdiff > 1:
+            hitsdiff /= 100.0
+        if hitsdiff < 0:
+            hitsdiff = 0.0
+    else:
+        hitsdiff = c.hits_diff_fraction
+    opt.classify = ClassifyParams(
+        lowest_rank=lowest_code,
+        highest_rank=highest_code,
+        hits_min=args.get(["hitmin", "hit-min", "hit_min", "hitsmin",
+                           "hits-min", "hits_min"], c.hits_min, int),
+        hits_diff_fraction=hitsdiff,
+        insert_size_max=args.get(["insertsize", "insert-size", "insert_size"],
+                                 c.insert_size_max, int),
+        max_candidates=args.get(["maxcand", "max-cand", "max_cand"],
+                                c.max_candidates, int))
+
+    e = opt.evaluate
+    e.precision = e.precision or args.contains("precision") \
+        or args.contains(["taxon-coverage", "taxon_coverage"])
+    e.taxon_coverage = e.taxon_coverage or args.contains(
+        ["taxon-coverage", "taxon_coverage"])
+    e.determine_ground_truth = e.determine_ground_truth or args.contains(
+        ["ground-truth", "ground_truth", "groundtruth"])
+    excl = args.get(["exclude", "exclude-rank", "exclude_rank"], "")
+    if excl:
+        e.exclude_rank = rank_from_name(excl)
+    if e.exclude_rank != Rank.NONE:
+        e.determine_ground_truth = True
+
+    o = opt.output
+    o.format.column = args.get("separator", o.format.column)
+    o.show_query_ids = o.show_query_ids or args.contains(
+        ["queryids", "query-ids", "query_ids"])
+    o.lowest_rank = opt.classify.lowest_rank
+    o.highest_rank = _code(opt.classify.highest_rank)
+    o.show_lineage = o.show_lineage or args.contains("lineage")
+    o.show_locations = o.show_locations or args.contains("locations")
+    o.show_top_hits = o.show_top_hits or args.contains(
+        ["tophits", "top-hits", "top_hits"])
+    o.show_all_hits = o.show_all_hits or args.contains(
+        ["allhits", "all-hits", "all_hits"])
+    show_ranks = not args.contains(["omit-ranks", "omitranks", "omit_ranks"])
+    if args.contains(["taxidsonly", "taxids-only", "taxids_only",
+                      "taxid-only", "taxid_only"]):
+        o.show_taxa_as = out_mod.TaxonPrintMode.RANK_ID if show_ranks \
+            else out_mod.TaxonPrintMode.ID
+    elif args.contains(["taxids", "taxid"]):
+        o.show_taxa_as = out_mod.TaxonPrintMode.RANK_NAME_ID if show_ranks \
+            else out_mod.TaxonPrintMode.NAME_ID
+    else:
+        o.show_taxa_as = out_mod.TaxonPrintMode.RANK_NAME if show_ranks \
+            else out_mod.TaxonPrintMode.NAME
+    if args.contains(["nomap", "no-map", "no_map"]):
+        o.map_view_mode = out_mod.MapViewMode.NONE
+    elif args.contains(["mapped-only", "mapped_only", "mappedonly"]):
+        o.map_view_mode = out_mod.MapViewMode.MAPPED_ONLY
+    elif o.show_all_hits:
+        o.map_view_mode = out_mod.MapViewMode.ALL
+    o.show_ground_truth = e.determine_ground_truth
+
+    o.show_tax_abundances = o.show_tax_abundances or args.contains(
+        "abundances")
+    o.abundance_file = args.get("abundances", o.abundance_file) or ""
+    est = args.get(["abundance-per", "abundances-per", "abundance_per",
+                    "abundances_per"], "")
+    if est:
+        r = rank_from_name(est)
+        if r != Rank.NONE and r <= Rank.ROOT:
+            o.abundance_estimates_rank = r
+    o.make_tax_counts = o.show_tax_abundances or \
+        o.abundance_estimates_rank != Rank.NONE
+
+    o.query_mappings_file = args.get("out", o.query_mappings_file) or ""
+    if not o.query_mappings_file:
+        split = args.get(["splitout", "split-out"], "")
+        if split:
+            o.split_files = True
+            o.query_mappings_file = split
+
+    batch = args.get(["batch-size", "batch_size"], None, int)
+    if batch:
+        opt.pipeline = dataclasses.replace(opt.pipeline, batch_size=batch)
+    maxloc = args.get(["max-locations-per-query",
+                       "max_locations_per_query"], None, int)
+    if maxloc:
+        opt.pipeline = dataclasses.replace(opt.pipeline,
+                                           max_locations_per_query=maxloc)
+    maxqlen = args.get(["max-query-len", "max_query_len"], None, int)
+    if maxqlen:
+        opt.pipeline = dataclasses.replace(opt.pipeline, max_query_len=maxqlen)
+    return opt
+
+
+def _code(rank) -> int:
+    if isinstance(rank, int):
+        return rank
+    return rank_from_name(rank)
+
+
+# ---------------------------------------------------------------------------
+def load_all_shards(dbname: str) -> Database:
+    """Load every '<dbname>_<s>.npz' shard and fuse the feature tables for
+    single-process querying (the union is equivalent to per-shard lookup +
+    candidate merge — see FeatureTable.concat_shards)."""
+    shards = []
+    s = 0
+    while os.path.exists(shard_path(dbname, s)):
+        shards.append(Database.load(dbname, s))
+        s += 1
+    if not shards:
+        raise FileNotFoundError(
+            f"can't open file {shard_path(dbname, 0)}")
+    db = shards[0]
+    if len(shards) > 1:
+        db.features = FeatureTable.concat_shards([d.features for d in shards])
+        db.num_shards = 1
+        db.shard_id = 0
+    return db
+
+
+def ground_truth_node(db: Database, header: str) -> int:
+    """(classification.cpp:111-131)"""
+    t = db.taxonomy
+    name2node: Dict[str, int] = getattr(db, "_name2node", None)
+    if name2node is None:
+        name2node = {}
+        for node in range(1, len(t)):
+            if t.rank[node] == Rank.SEQUENCE:
+                name2node.setdefault(t.names[node], node)
+        db._name2node = name2node
+
+    acc = sequence_io.extract_ncbi_accession_version(header)
+    node = name2node.get(acc, 0)
+    if node:
+        return t.next_ranked_ancestor(node)
+    accs = sequence_io.extract_ncbi_accession(header)
+    if accs:
+        for name, n in name2node.items():
+            if accs in name:
+                return t.next_ranked_ancestor(n)
+    tid = sequence_io.extract_taxon_id(header)
+    if tid:
+        n = t.node_of_id(tid)
+        if n:
+            return t.next_ranked_ancestor(n)
+    node = name2node.get(header, 0)
+    if node:
+        return t.next_ranked_ancestor(node)
+    return 0
+
+
+class QueryProcessor:
+    """Streams read files through the engine, formats output, accumulates
+    statistics/abundances — the host half of the query engine."""
+
+    def __init__(self, db: Database, opt: QueryModeOptions):
+        self.db = db
+        self.opt = opt
+        self.engine = QueryEngine(db, opt.classify, opt.pipeline)
+        self.stats = ClassificationStatistics()
+        self.tax_counts: Dict[int, float] = {}
+        self.total_overflow = 0
+
+    def process_files(self, infiles: List[str], out: TextIO):
+        timer = Timer()
+        timer.start()
+        if self.opt.output.map_view_mode != out_mod.MapViewMode.NONE:
+            out_mod.show_query_mapping_header(out, self.opt.output)
+        pairing = self.opt.pairing
+        if pairing == "files":
+            infiles = sorted(infiles)
+            pairs = list(zip(infiles[0::2], infiles[1::2]))
+            for f1, f2 in pairs:
+                self._process_one(f1, f2, out)
+        else:
+            for f in infiles:
+                self._process_one(f, None, out)
+        timer.stop()
+        self.time_ms = timer.milliseconds()
+
+    def _process_one(self, f1: str, f2: Optional[str], out: TextIO):
+        B = self.opt.pipeline.batch_size
+        L = self.opt.pipeline.max_query_len
+        c1, l1, c2, l2 = self.engine.make_host_buffers()
+        meta: List[Tuple[int, str]] = []  # (query_id, header)
+        n = 0
+        limit = self.opt.query_limit
+        count = 0
+        for r1, r2 in sequence_io.read_sequence_pairs(f1, f2,
+                                                      self.opt.pairing):
+            if limit > 0 and count >= limit:
+                break
+            count += 1
+            if r1.empty:
+                continue
+            encode_read_into(c1, l1, n, r1.data, L)
+            if r2 is not None and r2.data:
+                encode_read_into(c2, l2, n, r2.data, L)
+            else:
+                l2[n] = 0
+            meta.append((r1.index, r1.header))
+            n += 1
+            if n == B:
+                self._emit(c1, l1, c2, l2, n, meta, out)
+                c1[:] = 0; l1[:] = 0; c2[:] = 0; l2[:] = 0
+                meta = []
+                n = 0
+        if n:
+            self._emit(c1, l1, c2, l2, n, meta, out)
+
+    def _emit(self, c1, l1, c2, l2, n, meta, out: TextIO):
+        res = self.engine.classify_batch(c1, l1, c2, l2, n)
+        self.total_overflow += int(res.match_overflow[:n].sum())
+        db, opt = self.db, self.opt
+        ev = opt.evaluate
+        for i in range(n):
+            qid, header = meta[i]
+            best = int(res.best[i])
+            gt = 0
+            if ev.precision or ev.determine_ground_truth or \
+                    ev.exclude_rank != Rank.NONE:
+                gt = ground_truth_node(db, header)
+            if ev.precision:
+                lca = db.taxonomy.ranked_lca_node(best, gt)
+                lowest_correct = int(db.taxonomy.rank[lca]) if lca \
+                    else Rank.NONE
+                self.stats.assign_known_correct(
+                    int(res.best_rank[i]),
+                    int(db.taxonomy.rank[gt]) if gt else Rank.NONE,
+                    lowest_correct)
+            else:
+                self.stats.assign(int(res.best_rank[i]))
+            if opt.output.make_tax_counts and best:
+                self.tax_counts[best] = self.tax_counts.get(best, 0) + 1
+            out_mod.show_query_mapping(
+                out, db, opt.output, qid, header, gt, best,
+                res.cand_tax[i], res.cand_hits[i], res.cand_beg[i],
+                res.cand_end[i])
+
+    def write_epilogue(self, out: TextIO, abundance_out: TextIO):
+        o = self.opt.output
+        if o.show_tax_abundances:
+            out_mod.show_abundances(
+                abundance_out, self.db,
+                abundance_mod.sorted_counts(self.db.taxonomy, self.tax_counts),
+                self.stats.total(), o)
+        if o.abundance_estimates_rank != Rank.NONE:
+            est = abundance_mod.estimate_abundance(
+                self.db.taxonomy, self.tax_counts, o.abundance_estimates_rank)
+            out_mod.show_abundance_estimates(
+                abundance_out, self.db,
+                abundance_mod.sorted_counts(self.db.taxonomy, est),
+                self.stats.total(), o)
+        if o.show_summary:
+            out_mod.show_summary(out, o, self.stats, self.time_ms,
+                                 self.opt.pairing != "none")
+
+
+def main_mode_query(args: ArgsParser) -> int:
+    if len(args.positionals) < 2:
+        print("usage: metacache query <database> [<reads>...] OPTIONS",
+              file=sys.stderr)
+        return 1
+    dbname = args.positionals[1]
+    infiles = [p for p in args.positionals[2:]]
+    expanded: List[str] = []
+    for f in infiles:
+        if os.path.isdir(f):
+            for root, _, files in os.walk(f):
+                expanded.extend(os.path.join(root, x) for x in files)
+        else:
+            expanded.append(f)
+
+    opt = get_query_options(ArgsParser([]) if args is None else args)
+    db = load_all_shards(dbname)
+    _adapt_options_to_database(opt, db)
+
+    proc = QueryProcessor(db, opt)
+    outfile = opt.output.query_mappings_file
+    if outfile:
+        with open(outfile, "w") as out:
+            proc.process_files(expanded, out)
+            ab = out
+            if opt.output.abundance_file and \
+                    opt.output.abundance_file != outfile:
+                with open(opt.output.abundance_file, "w") as abf:
+                    proc.write_epilogue(out, abf)
+            else:
+                proc.write_epilogue(out, ab)
+    else:
+        proc.process_files(expanded, sys.stdout)
+        proc.write_epilogue(sys.stdout, sys.stdout)
+    return 0
+
+
+def _adapt_options_to_database(opt: QueryModeOptions, db: Database):
+    """hitsMin deduction from sketch size (src/mode_query.cpp:247-260)."""
+    resolved = opt.classify.resolved_hits_min(
+        db.query_sketch_params.sketch_size)
+    opt.classify = dataclasses.replace(opt.classify, hits_min=resolved)
