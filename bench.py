@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""Benchmark: paired-read classification throughput on the current JAX
+device vs the reference MetaCache-MPI binary on this host's CPU.
+
+Prints ONE JSON line:
+  {"metric": "reads_classified_per_sec_per_chip", "value": N,
+   "unit": "reads/s", "vs_baseline": N}
+
+Baseline = reference binary (2 stub-MPI processes, this host's CPUs) on the
+same database and read set; measured once and cached in
+BENCH_BASELINE.json (delete the file to re-measure).
+
+Workload: 64 genomes x 100 kbp database (~900k windows), 16k paired 100bp
+reads, canonical query flags (-pairfiles -lowest species, maxcand 2).
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+WORK = "/tmp/mc_bench"
+BASELINE_FILE = os.path.join(REPO, "BENCH_BASELINE.json")
+
+NUM_GENOMES = 64
+GENOME_LEN = 100_000
+NUM_PAIRS = 16_384
+READ_LEN = 100
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_world():
+    sys.path.insert(0, REPO)
+    from tests import util_mockdata as mock
+    os.makedirs(WORK, exist_ok=True)
+    marker = os.path.join(WORK, "world_ok")
+    if os.path.exists(marker):
+        return
+    log("generating benchmark world ...")
+    fasta, nodes, names, merged, genomes, taxids = mock.make_mock_world(
+        WORK, num_genomes=NUM_GENOMES, genome_len=GENOME_LEN, seed=1234)
+    rng = np.random.default_rng(99)
+    r1, r2 = [], []
+    for i in range(NUM_PAIRS):
+        g = int(rng.integers(0, NUM_GENOMES))
+        pos = int(rng.integers(0, GENOME_LEN - 400))
+        s1 = mock.mutate(rng, genomes[g][pos:pos + READ_LEN], 0.01)
+        s2 = mock.mutate(rng, genomes[g][pos + 250:pos + 250 + READ_LEN],
+                         0.01)
+        r1.append((f"p{i}_NC_{g:06d}.1/1", s1))
+        r2.append((f"p{i}_NC_{g:06d}.1/2", s2))
+    mock.write_fasta(os.path.join(WORK, "reads_1.fa"), r1)
+    mock.write_fasta(os.path.join(WORK, "reads_2.fa"), r2)
+    open(marker, "w").write("ok")
+
+
+def measure_reference() -> float:
+    """Reference reads/s (counting read pairs as 1 query each)."""
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            return json.load(f)["reference_reads_per_sec"]
+    refbin = "/tmp/refbuild/metacache_mpi2"
+    runstub = "/tmp/refbuild/run_stub.sh"
+    if not os.path.exists(refbin):
+        log("building reference binary ...")
+        r = subprocess.run([os.path.join(REPO, "tools/build_reference.sh")],
+                           capture_output=True, text=True)
+        if r.returncode != 0:
+            log("reference build failed:", r.stderr[-500:])
+            return 0.0
+    if not os.path.exists(os.path.join(WORK, "refdb.db_0")):
+        log("building reference database (2 ranks) ...")
+        subprocess.run([runstub, "2", refbin, "build",
+                        os.path.join(WORK, "refdb"),
+                        os.path.join(WORK, "genomes.fa"),
+                        "-taxonomy", os.path.join(WORK, "tax")],
+                       capture_output=True, text=True)
+    log("running reference query (2 ranks x 1 thread/core) ...")
+    t0 = time.time()
+    r = subprocess.run([runstub, "2", refbin, "query",
+                        os.path.join(WORK, "refdb"),
+                        os.path.join(WORK, "reads_1.fa"),
+                        os.path.join(WORK, "reads_2.fa"),
+                        "-pairfiles", "-lowest", "species",
+                        "-query-limit", "100000",
+                        "-out", os.path.join(WORK, "ref_out.txt")],
+                       capture_output=True, text=True)
+    wall = time.time() - t0
+    # prefer the reference's own speed metric (queries/min counts mates
+    # separately in paired mode: numQueries = 2 * pairs)
+    speed = None
+    try:
+        with open(os.path.join(WORK, "ref_out.txt")) as f:
+            for line in f:
+                m = re.match(r"# speed:\s+([0-9.eE+]+) queries/min", line)
+                if m:
+                    speed = float(m.group(1)) / 60.0 / 2.0  # pairs/s
+    except OSError:
+        pass
+    if speed is None:
+        speed = NUM_PAIRS / wall
+        log(f"using wall-clock fallback: {wall:.1f}s")
+    with open(BASELINE_FILE, "w") as f:
+        json.dump({"reference_reads_per_sec": speed,
+                   "workload": {"genomes": NUM_GENOMES,
+                                "genome_len": GENOME_LEN,
+                                "pairs": NUM_PAIRS},
+                   "hardware": "host CPU, 2 stub-MPI ranks"}, f, indent=1)
+    log(f"reference baseline: {speed:.0f} read pairs/s")
+    return speed
+
+
+def measure_tpu() -> float:
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    log(f"jax backend: {jax.default_backend()}, devices: {jax.devices()}")
+    from metacache_tpu.config import ClassifyParams, QueryPipelineParams
+    from metacache_tpu.modes.query import load_all_shards
+    from metacache_tpu.modes.build import main_mode_build
+    from metacache_tpu.utils import ArgsParser
+    from metacache_tpu.query.engine import QueryEngine, encode_read_into
+    from metacache_tpu.io import sequence_io
+
+    dbbase = os.path.join(WORK, "mydb")
+    if not os.path.exists(dbbase + "_0.npz"):
+        log("building metacache-tpu database ...")
+        main_mode_build(ArgsParser(
+            ["build", dbbase, os.path.join(WORK, "genomes.fa"),
+             "-taxonomy", os.path.join(WORK, "tax")]))
+    db = load_all_shards(dbbase)
+    classify = ClassifyParams(lowest_rank="species")
+    pipeline = QueryPipelineParams(batch_size=8192, max_query_len=128,
+                                   max_locations_per_query=1024)
+    eng = QueryEngine(db, classify, pipeline)
+
+    # load all reads into encoded host buffers up front (I/O measured
+    # separately; this benchmark isolates the classification pipeline —
+    # reads/s/chip is the north-star metric)
+    log("loading + encoding reads ...")
+    reads1 = [r.data for r in
+              sequence_io.read_sequences(os.path.join(WORK, "reads_1.fa"))]
+    reads2 = [r.data for r in
+              sequence_io.read_sequences(os.path.join(WORK, "reads_2.fa"))]
+    n = len(reads1)
+    B = pipeline.batch_size
+    batches = []
+    for start in range(0, n, B):
+        c1 = np.zeros((B, pipeline.max_query_len), np.uint8)
+        l1 = np.zeros(B, np.int32)
+        c2 = np.zeros((B, pipeline.max_query_len), np.uint8)
+        l2 = np.zeros(B, np.int32)
+        m = min(B, n - start)
+        for i in range(m):
+            encode_read_into(c1, l1, i, reads1[start + i],
+                             pipeline.max_query_len)
+            encode_read_into(c2, l2, i, reads2[start + i],
+                             pipeline.max_query_len)
+        batches.append((c1, l1, c2, l2, m))
+
+    log("warmup/compile ...")
+    res = eng.classify_batch(*batches[0])
+    classified = None
+
+    log("timed run ...")
+    t0 = time.time()
+    total = 0
+    n_classified = 0
+    for c1, l1, c2, l2, m in batches:
+        res = eng.classify_batch(c1, l1, c2, l2, m)
+        n_classified += int((res.best[:m] != 0).sum())
+        total += m
+    wall = time.time() - t0
+    rps = total / wall
+    log(f"tpu: {total} pairs in {wall:.3f}s = {rps:.0f} pairs/s "
+        f"({n_classified}/{total} classified)")
+    return rps
+
+
+def main():
+    make_world()
+    ref_rps = measure_reference()
+    tpu_rps = measure_tpu()
+    vs = tpu_rps / ref_rps if ref_rps > 0 else 0.0
+    print(json.dumps({
+        "metric": "reads_classified_per_sec_per_chip",
+        "value": round(tpu_rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -8,11 +8,17 @@ from __future__ import annotations
 import os
 import sys
 
+import jax
+
 if os.environ.get("METACACHE_PLATFORM"):
     # must run before any backend use; env JAX_PLATFORMS alone is not enough
     # because this image's sitecustomize imports jax at interpreter start
-    import jax
     jax.config.update("jax_platforms", os.environ["METACACHE_PLATFORM"])
+# persistent compilation cache: first TPU compile of the pipeline can take
+# minutes via remote compile; cached compiles load in seconds
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("METACACHE_JAX_CACHE", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from .utils import ArgsParser
 

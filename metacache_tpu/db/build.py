@@ -238,6 +238,44 @@ def build_database(infiles: Sequence[str], opt: BuildOptions,
     return db
 
 
+def build_database_from_records(records, params: BuildParams = None,
+                                taxonomy: Taxonomy = None,
+                                num_shards: int = 1, shard_id: int = 0
+                                ) -> Database:
+    """Build a database directly from in-memory (header, sequence) pairs —
+    used by tests, the REPL, and the graft entry points."""
+    params = params or BuildParams()
+    p = params.sketch
+    taxonomy = taxonomy or Taxonomy()
+    if not taxonomy.node_of_id(1):
+        taxonomy.add_node(1, 1, "root", Rank.ROOT)
+    triples = TripleAccumulator()
+    batcher = WindowBatcher(p, triples)
+    target_nodes: List[int] = []
+    for header, seq in records:
+        sid = sequence_io.extract_accession_string(header) \
+            or header.split(" ")[0] or header
+        tgt = len(target_nodes)
+        parent = sequence_io.extract_taxon_id(header)
+        windows = 0
+        if tgt % num_shards == shard_id:
+            codes = encode.np_encode_bytes(
+                np.frombuffer(seq.encode(), dtype=np.uint8))
+            windows = batcher.add_sequence(codes, tgt)
+        node = taxonomy.add_node(-(tgt + 1), parent or NONE_TAXID, sid,
+                                 Rank.SEQUENCE, source_windows=windows)
+        target_nodes.append(node)
+    batcher.flush()
+    f, t, w = triples.concat()
+    ft = FeatureTable.from_triples(f, t, w, params.max_locations_per_feature)
+    return Database(
+        sketch_params=p, query_sketch_params=p,
+        max_locations_per_feature=params.max_locations_per_feature,
+        taxonomy=taxonomy,
+        target_taxon_node=np.array(target_nodes, dtype=np.int32),
+        features=ft, num_shards=num_shards, shard_id=shard_id)
+
+
 def rank_unranked_targets(taxonomy: Taxonomy, target_nodes: List[int],
                           mapping: Dict[str, int]):
     """Attach parents to unranked sequence-level taxa from accession->taxid

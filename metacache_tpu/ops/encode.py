@@ -48,6 +48,39 @@ def np_encode_bytes(seq_bytes: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# 2-bit packing for host->device transfer (4 bases/byte + ambiguity bitplane)
+# Transfer bandwidth is a first-order bottleneck when feeding chips; packing
+# cuts read-batch bytes by ~2.7x vs raw 1-byte codes.
+# ---------------------------------------------------------------------------
+def np_pack_codes(codes: np.ndarray):
+    """[B, L] uint8 codes (0..3, 255=ambiguous) -> (packed [B, L/4],
+    ambig_bits [B, L/8]); L must be a multiple of 8."""
+    B, L = codes.shape
+    assert L % 8 == 0, "pack length must be a multiple of 8"
+    c = np.where(codes == AMBIG_CODE, 0, codes).astype(np.uint8)
+    c = c.reshape(B, L // 4, 4)
+    packed = (c[..., 0] | (c[..., 1] << 2) | (c[..., 2] << 4)
+              | (c[..., 3] << 6)).astype(np.uint8)
+    a = (codes == AMBIG_CODE).reshape(B, L // 8, 8)
+    weights = (1 << np.arange(8)).astype(np.uint8)
+    ambig = (a * weights).sum(axis=-1).astype(np.uint8)
+    return packed, ambig
+
+
+def unpack_codes(packed: jnp.ndarray, ambig: jnp.ndarray) -> jnp.ndarray:
+    """Device-side inverse of np_pack_codes -> [B, L] uint8 (0..3, 255)."""
+    B, P4 = packed.shape
+    L = P4 * 4
+    shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+    c = (packed[:, :, None] >> shifts[None, None, :]) & jnp.uint8(3)
+    c = c.reshape(B, L)
+    bshifts = jnp.arange(8, dtype=jnp.uint8)
+    a = (ambig[:, :, None] >> bshifts[None, None, :]) & jnp.uint8(1)
+    a = a.reshape(B, L)
+    return jnp.where(a == 1, jnp.uint8(AMBIG_CODE), c)
+
+
+# ---------------------------------------------------------------------------
 # windowing (host helper): start offsets of windows of a sequence
 # ---------------------------------------------------------------------------
 def window_starts(seq_len: int, window: int, stride: int) -> np.ndarray:

@@ -50,18 +50,20 @@ def sketch_windows(codes: jnp.ndarray, valid_len: jnp.ndarray,
     h = thomas_mueller_hash(kmers)
     h = jnp.where(valid, h, SENTINEL)
     # sentinel can also be a genuine hash output; the reference excludes it
-    # (h < sketch.back() is false when back == ~0), and jnp.where above plus
-    # the dedup below treat it exactly the same way: it never survives.
-    h = jnp.sort(h, axis=-1)
-    dup = jnp.concatenate(
-        [jnp.zeros((h.shape[0], 1), dtype=bool), h[:, 1:] == h[:, :-1]], axis=-1)
-    h = jnp.where(dup, SENTINEL, h)
-    h = jnp.sort(h, axis=-1)
-    if h.shape[-1] < sketch_size:
-        pad = jnp.full((h.shape[0], sketch_size - h.shape[-1]), SENTINEL,
-                       dtype=jnp.uint32)
-        return jnp.concatenate([h, pad], axis=-1)
-    return h[:, :sketch_size]
+    # (h < sketch.back() is false when back == ~0), and the min-extraction
+    # below treats it exactly the same way: it never survives.
+    #
+    # s smallest *unique* values by iterative min extraction: each step
+    # takes the row minimum and retires ALL its copies (which is exactly
+    # the dedup), yielding ascending unique values. This is pure VPU
+    # min/compare work — far cheaper on TPU than the sort network a
+    # sort/unique/sort formulation would lower to.
+    out = []
+    for _ in range(sketch_size):
+        m = jnp.min(h, axis=-1, keepdims=True)
+        out.append(m)
+        h = jnp.where(h == m, SENTINEL, h)
+    return jnp.concatenate(out, axis=-1)
 
 
 def np_sketch_window(codes: np.ndarray, valid_len: int,

@@ -1,0 +1,192 @@
+"""Multi-chip sharded query: database shards across a device mesh.
+
+The TPU-native replacement for the reference's MPI query distribution
+(query_batched_parallel2, src/querying.h:721-1173):
+
+  reference                                TPU
+  ---------                                ---
+  per-rank DB shard file (t % P == rank)   feature-table shard per device,
+                                           stacked [P, F] + NamedSharding
+  every rank reads the same read block     read batch replicated to devices
+  log2(P) MPI_Send/Recv candidate tree     all_gather of fixed-shape [B, C]
+  + re-insert into per-qid lists           candidate tensors over ICI +
+                                           deterministic dedup/top-k merge
+  rank 0 classifies + formats              classification computed
+                                           replicated; host 0 formats
+
+The merge is associative/commutative (max hits per taxon), so results are
+shard-count invariant (each target's matches live wholly on one shard).
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ClassifyParams, QueryPipelineParams
+from ..db.database import Database
+from ..db.taxonomy import Rank
+from ..ops import candidates as cand_ops
+from ..ops import classify_op, lookup, sketch
+from ..query.engine import BatchResult, _rank_code, _window_starts_static
+
+
+def make_mesh(devices=None, axis: str = "shard") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def stack_shard_tables(dbs: List[Database]):
+    """Pad all shard feature tables to common sizes and stack to [P, ...]."""
+    fmax = max(d.features.num_keys for d in dbs)
+    lmax = max(d.features.num_locations for d in dbs)
+    keys, offsets, tgts, wins = [], [], [], []
+    for d in dbs:
+        k, o, t, w = d.features.device_arrays(pad_keys_to=fmax,
+                                              pad_locs_to=lmax)
+        keys.append(k)
+        offsets.append(o.astype(np.int32))
+        tgts.append(t)
+        wins.append(w)
+    return (np.stack(keys), np.stack(offsets), np.stack(tgts),
+            np.stack(wins))
+
+
+class ShardedQueryEngine:
+    """Query engine over a device mesh: one database shard per device.
+
+    API-compatible with query.engine.QueryEngine (classify_batch).
+    """
+
+    def __init__(self, dbs: List[Database], classify: ClassifyParams,
+                 pipeline: QueryPipelineParams = QueryPipelineParams(),
+                 mesh: Optional[Mesh] = None):
+        if mesh is None:
+            mesh = make_mesh()
+        n_dev = mesh.devices.size
+        if len(dbs) != n_dev:
+            raise ValueError(f"{len(dbs)} shards for {n_dev} devices")
+        self.mesh = mesh
+        self.db = dbs[0]          # taxonomy/targets replicated across shards
+        self.classify = classify
+        self.pipeline = pipeline
+        p = self.db.query_sketch_params
+        self.sketch_params = p
+        self.hits_min = classify.resolved_hits_min(p.sketch_size)
+        self.lowest_rank = _rank_code(classify.lowest_rank)
+        self.highest_rank = _rank_code(classify.highest_rank)
+        self.starts = tuple(_window_starts_static(
+            pipeline.max_query_len, p.window_size, p.window_stride))
+
+        keys, offsets, tgts, wins = stack_shard_tables(dbs)
+        shard = NamedSharding(mesh, P("shard"))
+        repl = NamedSharding(mesh, P())
+        self._keys = jax.device_put(keys, shard)
+        self._offsets = jax.device_put(offsets, shard)
+        self._loc_tgt = jax.device_put(tgts, shard)
+        self._loc_win = jax.device_put(wins, shard)
+        self._tct = jax.device_put(
+            self.db.target_cand_tax(self.lowest_rank), repl)
+        self._lineage = jax.device_put(
+            self.db.taxonomy.ranked_lineage.astype(np.int32), repl)
+        self._repl = repl
+        self._compiled = None
+
+    # ------------------------------------------------------------------
+    def _build_fn(self):
+        p = self.sketch_params
+        starts = self.starts
+        lmax = self.pipeline.max_locations_per_query
+        C = self.classify.max_candidates
+        highest = self.highest_rank
+        insert_max = self.classify.insert_size_max
+        k, S, W, stride = (p.kmer_size, p.sketch_size, p.window_size,
+                           p.window_stride)
+
+        def shard_fn(packed1, ambig1, lens1, packed2, ambig2, lens2,
+                     keys, offsets, loc_tgt,
+                     loc_win, tct, lineage, hits_min, hits_diff):
+            from ..ops import encode
+            codes1 = encode.unpack_codes(packed1, ambig1)
+            codes2 = encode.unpack_codes(packed2, ambig2)
+            # local shard block: leading axis of size 1
+            keys, offsets = keys[0], offsets[0]
+            loc_tgt, loc_win = loc_tgt[0], loc_win[0]
+            B = codes1.shape[0]
+            feats = []
+            for codes, lens in ((codes1, lens1), (codes2, lens2)):
+                for s in starts:
+                    wcodes = codes[:, s:s + W]
+                    if wcodes.shape[1] < W:
+                        pad = jnp.full((B, W - wcodes.shape[1]), 255,
+                                       dtype=jnp.uint8)
+                        wcodes = jnp.concatenate([wcodes, pad], axis=1)
+                    wlen = jnp.clip(lens - s, 0, W)
+                    feats.append(sketch.sketch_windows(wcodes, wlen, k, S))
+            features = jnp.concatenate(feats, axis=1)
+
+            tgt, win, total, overflow = lookup.lookup_matches(
+                features, keys, offsets, loc_tgt, loc_win, lmax)
+            pair_len = jnp.maximum(lens1 + lens2, insert_max)
+            num_windows = (2 + pair_len // stride).astype(jnp.int32)
+            cand = cand_ops.generate_candidates(tgt, win, num_windows, tct, C)
+
+            # ---- cross-shard candidate merge over ICI ----
+            # all_gather fixed-shape candidate tensors, then deterministic
+            # dedup/top-k (replaces the reference's log2(P) Send/Recv tree)
+            gath = {key: jax.lax.all_gather(val, "shard")
+                    for key, val in cand.items()}           # [P, B, C]
+            Pn = gath["tax"].shape[0]
+            flat = {key: jnp.transpose(val, (1, 0, 2)).reshape(B, Pn * C)
+                    for key, val in gath.items()}
+            merged = cand_ops._dedup_topk(flat["tax"], flat["hits"],
+                                          flat["beg"], flat["end"],
+                                          flat["tgt"], C)
+            best, best_rank = classify_op.classify_lca(
+                merged["tax"], merged["hits"], lineage, hits_min, hits_diff,
+                highest)
+            ovf = jax.lax.psum(overflow, "shard")
+            return merged, best, best_rank, ovf
+
+        mesh = self.mesh
+        fn = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(),   # reads replicated
+                      P("shard"), P("shard"), P("shard"), P("shard"),
+                      P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False)
+        return jax.jit(fn)
+
+    def make_host_buffers(self):
+        B, L = self.pipeline.batch_size, self.pipeline.max_query_len
+        return (np.zeros((B, L), np.uint8), np.zeros(B, np.int32),
+                np.zeros((B, L), np.uint8), np.zeros(B, np.int32))
+
+    def classify_batch(self, codes1, lens1, codes2, lens2, n: int
+                       ) -> BatchResult:
+        if self._compiled is None:
+            self._compiled = self._build_fn()
+        from ..ops import encode as _enc
+        p1, a1 = _enc.np_pack_codes(codes1)
+        p2, a2 = _enc.np_pack_codes(codes2)
+        merged, best, best_rank, ovf = self._compiled(
+            jnp.asarray(p1), jnp.asarray(a1), jnp.asarray(lens1),
+            jnp.asarray(p2), jnp.asarray(a2), jnp.asarray(lens2),
+            self._keys, self._offsets, self._loc_tgt, self._loc_win,
+            self._tct, self._lineage,
+            jnp.int32(self.hits_min),
+            jnp.float32(self.classify.hits_diff_fraction))
+        return BatchResult(
+            n=n,
+            cand_tax=np.asarray(merged["tax"]),
+            cand_hits=np.asarray(merged["hits"]),
+            cand_beg=np.asarray(merged["beg"]),
+            cand_end=np.asarray(merged["end"]),
+            cand_tgt=np.asarray(merged["tgt"]),
+            best=np.asarray(best), best_rank=np.asarray(best_rank),
+            match_overflow=np.asarray(ovf))

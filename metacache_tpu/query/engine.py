@@ -50,14 +50,16 @@ def _window_starts_static(max_len: int, window: int, stride: int) -> List[int]:
     static_argnames=("k", "sketch_size", "window_size", "starts", "lmax",
                      "max_candidates", "highest_rank", "window_stride",
                      "insert_size_max"))
-def _query_batch_device(codes1, lens1, codes2, lens2,
+def _query_batch_device(packed1, ambig1, lens1, packed2, ambig2, lens2,
                         keys, offsets, loc_tgt, loc_win, target_cand_tax,
                         ranked_lineage, hits_min, hits_diff,
                         *, k: int, sketch_size: int, window_size: int,
                         window_stride: int, starts: Tuple[int, ...],
                         lmax: int, max_candidates: int, highest_rank: int,
                         insert_size_max: int):
-    """One fused device program: reads -> classification."""
+    """One fused device program: 2-bit-packed reads -> classification."""
+    codes1 = encode.unpack_codes(packed1, ambig1)
+    codes2 = encode.unpack_codes(packed2, ambig2)
     B, Lq = codes1.shape
     feats = []
     for codes, lens in ((codes1, lens1), (codes2, lens2)):
@@ -137,8 +139,10 @@ class QueryEngine:
     def classify_batch(self, codes1, lens1, codes2, lens2, n: int
                        ) -> BatchResult:
         """Classify a (padded) batch; first `n` rows are valid reads."""
+        p1, a1 = encode.np_pack_codes(codes1)
+        p2, a2 = encode.np_pack_codes(codes2)
         out = _query_batch_device(
-            codes1, lens1, codes2, lens2,
+            p1, a1, lens1, p2, a2, lens2,
             self._keys, self._offsets, self._loc_tgt, self._loc_win,
             self._tct, self._lineage,
             jnp.int32(self.hits_min),
