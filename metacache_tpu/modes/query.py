@@ -145,6 +145,14 @@ def get_query_options(args: ArgsParser, defaults: QueryModeOptions = None
         o.map_view_mode = out_mod.MapViewMode.ALL
     o.show_ground_truth = e.determine_ground_truth
 
+    o.show_hits_per_target_list = o.show_hits_per_target_list or args.contains(
+        ["hits-per-seq", "hitsperseq", "hits_per_seq", "hits-per-sequence",
+         "hitspersequence", "hits_per_sequence"])
+    o.targets_file = args.get(
+        ["hits-per-seq", "hitsperseq", "hits_per_seq", "hits-per-sequence",
+         "hitspersequence", "hits_per_sequence"], o.targets_file) or ""
+    o.show_query_ids = o.show_query_ids or o.show_hits_per_target_list
+
     o.show_tax_abundances = o.show_tax_abundances or args.contains(
         "abundances")
     o.abundance_file = args.get("abundances", o.abundance_file) or ""
@@ -240,13 +248,20 @@ class QueryProcessor:
     """Streams read files through the engine, formats output, accumulates
     statistics/abundances — the host half of the query engine."""
 
-    def __init__(self, db: Database, opt: QueryModeOptions):
+    def __init__(self, db: Database, opt: QueryModeOptions, engine=None):
         self.db = db
         self.opt = opt
-        self.engine = QueryEngine(db, opt.classify, opt.pipeline)
+        twk = 16 if opt.output.show_hits_per_target_list else 0
+        self.engine = engine or QueryEngine(db, opt.classify, opt.pipeline,
+                                            target_window_k=twk)
+        self.exclusion = opt.evaluate.exclude_rank != Rank.NONE
+        if self.exclusion:
+            self.engine.set_exclusion(opt.evaluate.exclude_rank)
         self.stats = ClassificationStatistics()
         self.tax_counts: Dict[int, float] = {}
         self.total_overflow = 0
+        # target node -> [(qid, [(win, hits), ...]), ...]
+        self.target_matches: Dict[int, List] = {}
 
     def process_files(self, infiles: List[str], out: TextIO):
         timer = Timer()
@@ -296,7 +311,15 @@ class QueryProcessor:
             self._emit(c1, l1, c2, l2, n, meta, out)
 
     def _emit(self, c1, l1, c2, l2, n, meta, out: TextIO):
-        res = self.engine.classify_batch(c1, l1, c2, l2, n)
+        gts = None
+        exclude_groups = None
+        if self.exclusion:
+            gts = [ground_truth_node(self.db, h) for _, h in meta]
+            exclude_groups = np.zeros(self.opt.pipeline.batch_size, np.int32)
+            for i, g in enumerate(gts):
+                exclude_groups[i] = self.engine.exclusion_group_of(g)
+        res = self.engine.classify_batch(c1, l1, c2, l2, n,
+                                         exclude_groups=exclude_groups)
         self.total_overflow += int(res.match_overflow[:n].sum())
         db, opt = self.db, self.opt
         ev = opt.evaluate
@@ -304,7 +327,9 @@ class QueryProcessor:
             qid, header = meta[i]
             best = int(res.best[i])
             gt = 0
-            if ev.precision or ev.determine_ground_truth or \
+            if gts is not None:
+                gt = gts[i]
+            elif ev.precision or ev.determine_ground_truth or \
                     ev.exclude_rank != Rank.NONE:
                 gt = ground_truth_node(db, header)
             if ev.precision:
@@ -319,13 +344,45 @@ class QueryProcessor:
                 self.stats.assign(int(res.best_rank[i]))
             if opt.output.make_tax_counts and best:
                 self.tax_counts[best] = self.tax_counts.get(best, 0) + 1
+            if opt.output.show_hits_per_target_list and \
+                    res.target_window_hits is not None:
+                self._collect_target_matches(res, i, qid)
             out_mod.show_query_mapping(
                 out, db, opt.output, qid, header, gt, best,
                 res.cand_tax[i], res.cand_hits[i], res.cand_beg[i],
                 res.cand_end[i])
 
+    def _collect_target_matches(self, res, i: int, qid: int):
+        """matches_per_target::insert semantics
+        (src/matches_per_target.h:111-155): sequence-level candidates with
+        >= hitsMin hits contribute their window hit lists."""
+        tax = self.db.taxonomy
+        hits_min = self.engine.hits_min
+        for c in range(res.cand_tax.shape[1]):
+            node = int(res.cand_tax[i, c])
+            if node == 0 or res.cand_hits[i, c] < hits_min:
+                continue
+            if tax.rank[node] != Rank.SEQUENCE:
+                continue
+            beg = int(res.cand_beg[i, c])
+            wins = [(beg + k, int(h))
+                    for k, h in enumerate(res.target_window_hits[i, c])
+                    if h > 0]
+            if wins:
+                self.target_matches.setdefault(node, []).append((qid, wins))
+
     def write_epilogue(self, out: TextIO, abundance_out: TextIO):
         o = self.opt.output
+        if o.show_hits_per_target_list:
+            target_out = out
+            if o.targets_file and o.targets_file != o.query_mappings_file:
+                target_out = open(o.targets_file, "w")
+            try:
+                out_mod.show_matches_per_targets(
+                    target_out, self.db, self.target_matches, o)
+            finally:
+                if target_out is not out:
+                    target_out.close()
         if o.show_tax_abundances:
             out_mod.show_abundances(
                 abundance_out, self.db,
@@ -350,19 +407,55 @@ def main_mode_query(args: ArgsParser) -> int:
         return 1
     dbname = args.positionals[1]
     infiles = [p for p in args.positionals[2:]]
-    expanded: List[str] = []
-    for f in infiles:
-        if os.path.isdir(f):
-            for root, _, files in os.walk(f):
-                expanded.extend(os.path.join(root, x) for x in files)
-        else:
-            expanded.append(f)
+    expanded = _expand_files(infiles)
+
+    if not expanded:
+        return run_interactive_query_mode(dbname, args)
 
     opt = get_query_options(ArgsParser([]) if args is None else args)
-    db = load_all_shards(dbname)
-    _adapt_options_to_database(opt, db)
 
-    proc = QueryProcessor(db, opt)
+    engine = None
+    if args.contains("mesh"):
+        # distribute database shards over all local devices
+        # (per-shard lookup + all_gather candidate merge over ICI)
+        import jax
+        from ..parallel import ShardedQueryEngine, make_mesh
+        devices = jax.devices()
+        shards = []
+        s = 0
+        while os.path.exists(shard_path(dbname, s)):
+            shards.append(Database.load(dbname, s))
+            s += 1
+        if len(shards) == len(devices) and len(devices) > 1:
+            db = shards[0]
+            _adapt_options_to_database(opt, db)
+            engine = ShardedQueryEngine(shards, opt.classify, opt.pipeline,
+                                        make_mesh(devices))
+        else:
+            print(f"-mesh: need one shard per device "
+                  f"({len(shards)} shards, {len(devices)} devices); "
+                  f"falling back to fused single-device query",
+                  file=sys.stderr)
+    if engine is None:
+        db = load_all_shards(dbname)
+        _adapt_options_to_database(opt, db)
+
+    if opt.output.split_files and opt.output.query_mappings_file:
+        # one output (and stats) per input file / file pair
+        # (mode_query.cpp:55-143 splitout handling)
+        prefix = opt.output.query_mappings_file
+        step = 2 if opt.pairing == "files" else 1
+        files = sorted(expanded) if opt.pairing == "files" else expanded
+        for i in range(0, len(files), step):
+            group = files[i:i + step]
+            proc = QueryProcessor(db, opt, engine=engine)
+            outfile = prefix + "_" + os.path.basename(group[0])
+            with open(outfile, "w") as out:
+                proc.process_files(group, out)
+                proc.write_epilogue(out, out)
+        return 0
+
+    proc = QueryProcessor(db, opt, engine=engine)
     outfile = opt.output.query_mappings_file
     if outfile:
         with open(outfile, "w") as out:
@@ -378,6 +471,55 @@ def main_mode_query(args: ArgsParser) -> int:
         proc.process_files(expanded, sys.stdout)
         proc.write_epilogue(sys.stdout, sys.stdout)
     return 0
+
+
+def _expand_files(infiles: List[str]) -> List[str]:
+    expanded: List[str] = []
+    for f in infiles:
+        if os.path.isdir(f):
+            for root, _, files in os.walk(f):
+                expanded.extend(os.path.join(root, x) for x in files)
+        else:
+            expanded.append(f)
+    return expanded
+
+
+def run_interactive_query_mode(dbname: str, init_args: ArgsParser) -> int:
+    """Primitive REPL for repeated querying with one loaded database
+    (run_interactive_query_mode, src/mode_query.cpp:269-315)."""
+    db = load_all_shards(dbname)
+    init_argv = ["query", dbname]
+    while True:
+        try:
+            line = input("$> ")
+        except EOFError:
+            print("Terminate.")
+            return 0
+        if not line or line.startswith(":q"):
+            print("Terminate.")
+            return 0
+        if line.startswith("#"):
+            continue
+        argv = init_argv + line.split()
+        args = ArgsParser(argv)
+        files = _expand_files(args.positionals[2:])
+        opt = get_query_options(args)
+        _adapt_options_to_database(opt, db)
+        if opt.pairing == "files":
+            files = sorted(files)
+        try:
+            proc = QueryProcessor(db, opt)
+            outfile = opt.output.query_mappings_file
+            out = open(outfile, "w") if outfile else sys.stdout
+            try:
+                proc.process_files(files, out)
+                proc.write_epilogue(out, out)
+            finally:
+                if outfile:
+                    out.close()
+        except Exception as e:
+            if opt.output.show_errors:
+                print(e, file=sys.stderr)
 
 
 def _adapt_options_to_database(opt: QueryModeOptions, db: Database):

@@ -31,6 +31,50 @@ from ..config import FEATURE_SENTINEL, TARGET_SENTINEL
 SENTINEL_U32 = jnp.uint32(FEATURE_SENTINEL)
 
 
+def global_lower_bound(keys, queries):
+    """Lower bound of each query in a sorted 1-D key array.
+
+    Unrolled binary search keeping queries in their natural 2-D tiled
+    layout — jnp.searchsorted flattens to 1-D, which on TPU forces
+    expensive relayout copies between linear and (8,128)-tiled layouts
+    around every step.
+    keys: [F] sorted uint32; queries: [B, Q] uint32. Returns [B, Q] int32.
+    """
+    F = keys.shape[0]
+    steps = max(1, F.bit_length())
+    lo = jnp.zeros(queries.shape, dtype=jnp.int32)
+    hi = jnp.full(queries.shape, F, dtype=jnp.int32)
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        mv = keys[jnp.minimum(mid, F - 1)]
+        less = mv < queries
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+    return lo
+
+
+def row_upper_bound(values, queries):
+    """Per-row upper bound: for each row b and query q, the count of
+    values[b, :] that are <= q (i.e. searchsorted side='right').
+
+    Manual unrolled binary search over take_along_axis steps — a vmapped
+    jnp.searchsorted lowers to a serialized per-row while-loop on TPU
+    (~1000x slower).
+    values: [B, N] sorted rows; queries: [B, Q]. Returns [B, Q] int32.
+    """
+    B, N = values.shape
+    steps = max(1, N.bit_length())
+    lo = jnp.zeros(queries.shape, dtype=jnp.int32)
+    hi = jnp.full(queries.shape, N, dtype=jnp.int32)
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        mv = jnp.take_along_axis(values, jnp.minimum(mid, N - 1), axis=1)
+        le = mv <= queries
+        lo = jnp.where(le, mid + 1, lo)
+        hi = jnp.where(le, hi, mid)
+    return lo
+
+
 def lookup_matches(features, keys, offsets, loc_tgt, loc_win, lmax: int):
     """Gather + sort the match lists for a batch of reads.
 
@@ -54,7 +98,7 @@ def lookup_matches(features, keys, offsets, loc_tgt, loc_win, lmax: int):
     B, NF = features.shape
     F = keys.shape[0]
 
-    idx = jnp.searchsorted(keys, features, side="left").astype(jnp.int32)
+    idx = global_lower_bound(keys, features)
     idx = jnp.minimum(idx, F - 1)
     found = (keys[idx] == features) & (features != SENTINEL_U32)
 
@@ -68,13 +112,14 @@ def lookup_matches(features, keys, offsets, loc_tgt, loc_win, lmax: int):
     cum_ex = cum - cnt
 
     # slot j of read b belongs to feature fi = #{features whose run ends <= j}
-    # = searchsorted(cum, j, 'right'); location index = start[fi] + (j - cum_ex[fi])
-    slots = jnp.arange(lmax, dtype=jnp.int32)
-    fi = jax.vmap(lambda c: jnp.searchsorted(c, slots, side="right"))(cum)
+    # = upper_bound(cum, j); location index = start[fi] + (j - cum_ex[fi])
+    slots = jnp.broadcast_to(jnp.arange(lmax, dtype=jnp.int32)[None, :],
+                             (B, lmax))
+    fi = row_upper_bound(cum, slots)
     fi = jnp.minimum(fi, NF - 1).astype(jnp.int32)
-    d = slots[None, :] - jnp.take_along_axis(cum_ex, fi, axis=1)
+    d = slots - jnp.take_along_axis(cum_ex, fi, axis=1)
     li = jnp.take_along_axis(start, fi, axis=1) + d
-    valid = slots[None, :] < jnp.minimum(total_all, lmax)[:, None]
+    valid = slots < jnp.minimum(total_all, lmax)[:, None]
     li = jnp.where(valid, li, 0)
 
     tgt = jnp.where(valid, loc_tgt[li], TARGET_SENTINEL)

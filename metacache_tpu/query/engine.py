@@ -49,15 +49,22 @@ def _window_starts_static(max_len: int, window: int, stride: int) -> List[int]:
     jax.jit,
     static_argnames=("k", "sketch_size", "window_size", "starts", "lmax",
                      "max_candidates", "highest_rank", "window_stride",
-                     "insert_size_max"))
+                     "insert_size_max", "target_window_k"))
 def _query_batch_device(packed1, ambig1, lens1, packed2, ambig2, lens2,
                         keys, offsets, loc_tgt, loc_win, target_cand_tax,
                         ranked_lineage, hits_min, hits_diff,
+                        exclude_groups=None, target_groups=None,
                         *, k: int, sketch_size: int, window_size: int,
                         window_stride: int, starts: Tuple[int, ...],
                         lmax: int, max_candidates: int, highest_rank: int,
-                        insert_size_max: int):
-    """One fused device program: 2-bit-packed reads -> classification."""
+                        insert_size_max: int, target_window_k: int = 0):
+    """One fused device program: 2-bit-packed reads -> classification.
+
+    exclude_groups/target_groups implement clade exclusion
+    (remove_hits_on_rank, src/classification.cpp:141-157): matches whose
+    target's ancestor group equals the read's ground-truth group are
+    discarded before candidate generation.
+    """
     codes1 = encode.unpack_codes(packed1, ambig1)
     codes2 = encode.unpack_codes(packed2, ambig2)
     B, Lq = codes1.shape
@@ -76,6 +83,17 @@ def _query_batch_device(packed1, ambig1, lens1, packed2, ambig2, lens2,
     tgt, win, total, overflow = lookup.lookup_matches(
         features, keys, offsets, loc_tgt, loc_win, lmax)
 
+    if exclude_groups is not None and target_groups is not None:
+        T1 = target_groups.shape[0]
+        safe = jnp.where(tgt == TARGET_SENTINEL, T1 - 1, tgt)
+        excl = (target_groups[safe] == exclude_groups[:, None]) & \
+            (exclude_groups[:, None] > 0)
+        tgt = jnp.where(excl, TARGET_SENTINEL, tgt)
+        win = jnp.where(excl, jnp.int32(2**31 - 1), win)
+        # keep the list sorted after masking
+        tgt, win = jax.lax.sort((tgt, win), dimension=1, num_keys=2,
+                                is_stable=True)
+
     # maxWindowsInRange = 2 + max(len1+len2, insertSizeMax) / winstride
     # (src/classification.cpp:217-219)
     pair_len = jnp.maximum(lens1 + lens2, insert_size_max)
@@ -86,8 +104,24 @@ def _query_batch_device(packed1, ambig1, lens1, packed2, ambig2, lens2,
     best, best_rank = classify_op.classify_lca(
         cand["tax"], cand["hits"], ranked_lineage, hits_min, hits_diff,
         highest_rank)
-    return {"cand": cand, "best": best, "best_rank": best_rank,
-            "match_total": total, "match_overflow": overflow}
+    out = {"cand": cand, "best": best, "best_rank": best_rank,
+           "match_total": total, "match_overflow": overflow}
+    if target_window_k:
+        # per-candidate window hit counts for the hits-per-target report
+        # (matches_per_target::insert, src/matches_per_target.h:111-155):
+        # counts of (cand.tgt, cand.beg + k) in the sorted match list
+        K = target_window_k
+        C = max_candidates
+        kk = jnp.arange(K, dtype=jnp.int32)
+        q_win = (cand["beg"][:, :, None] + kk[None, None, :]).reshape(B, C * K)
+        q_tgt = jnp.repeat(cand["tgt"], K, axis=1)
+        lb = cand_ops._lower_bound_pairs(tgt, win, q_tgt, q_win)
+        ub = cand_ops._lower_bound_pairs(tgt, win, q_tgt, q_win + 1)
+        counts = (ub - lb).reshape(B, C, K)
+        in_range = (cand["beg"][:, :, None] + kk[None, None, :]) <= \
+            cand["end"][:, :, None]
+        out["target_window_hits"] = jnp.where(in_range, counts, 0)
+    return out
 
 
 @dataclasses.dataclass
@@ -102,6 +136,7 @@ class BatchResult:
     best: np.ndarray         # [B] node index, 0 = unclassified
     best_rank: np.ndarray    # [B]
     match_overflow: np.ndarray
+    target_window_hits: Optional[np.ndarray] = None  # [B, C, K]
 
 
 class QueryEngine:
@@ -109,10 +144,11 @@ class QueryEngine:
 
     def __init__(self, db: Database, classify: ClassifyParams,
                  pipeline: QueryPipelineParams = QueryPipelineParams(),
-                 devices=None):
+                 devices=None, target_window_k: int = 0):
         self.db = db
         self.classify = classify
         self.pipeline = pipeline
+        self.target_window_k = target_window_k
         p = db.query_sketch_params
         self.sketch_params = p
         self.hits_min = classify.resolved_hits_min(p.sketch_size)
@@ -136,8 +172,22 @@ class QueryEngine:
         return (np.zeros((B, L), np.uint8), np.zeros(B, np.int32),
                 np.zeros((B, L), np.uint8), np.zeros(B, np.int32))
 
-    def classify_batch(self, codes1, lens1, codes2, lens2, n: int
-                       ) -> BatchResult:
+    def set_exclusion(self, rank_code: int):
+        """Enable clade exclusion on the given rank: per-read exclusion
+        groups must then be passed to classify_batch."""
+        anc = self.db.taxonomy.ranked_lineage[:, rank_code].astype(np.int32)
+        groups = np.zeros(self.db.target_count + 1, np.int32)
+        groups[:-1] = anc[self.db.target_taxon_node]
+        self._target_groups = jnp.asarray(groups)
+        self.exclude_rank = rank_code
+
+    def exclusion_group_of(self, node: int) -> int:
+        if node == 0:
+            return 0
+        return int(self.db.taxonomy.ranked_lineage[node, self.exclude_rank])
+
+    def classify_batch(self, codes1, lens1, codes2, lens2, n: int,
+                       exclude_groups=None) -> BatchResult:
         """Classify a (padded) batch; first `n` rows are valid reads."""
         p1, a1 = encode.np_pack_codes(codes1)
         p2, a2 = encode.np_pack_codes(codes2)
@@ -147,6 +197,9 @@ class QueryEngine:
             self._tct, self._lineage,
             jnp.int32(self.hits_min),
             jnp.float32(self.classify.hits_diff_fraction),
+            exclude_groups if exclude_groups is None
+            else jnp.asarray(exclude_groups),
+            None if exclude_groups is None else self._target_groups,
             k=self.sketch_params.kmer_size,
             sketch_size=self.sketch_params.sketch_size,
             window_size=self.sketch_params.window_size,
@@ -155,8 +208,11 @@ class QueryEngine:
             lmax=self.pipeline.max_locations_per_query,
             max_candidates=self.classify.max_candidates,
             highest_rank=self.highest_rank,
-            insert_size_max=self.classify.insert_size_max)
+            insert_size_max=self.classify.insert_size_max,
+            target_window_k=self.target_window_k)
         cand = out["cand"]
+        twh = np.asarray(out["target_window_hits"]) \
+            if self.target_window_k else None
         return BatchResult(
             n=n,
             cand_tax=np.asarray(cand["tax"]), cand_hits=np.asarray(cand["hits"]),
@@ -164,7 +220,8 @@ class QueryEngine:
             cand_tgt=np.asarray(cand["tgt"]),
             best=np.asarray(out["best"]),
             best_rank=np.asarray(out["best_rank"]),
-            match_overflow=np.asarray(out["match_overflow"]))
+            match_overflow=np.asarray(out["match_overflow"]),
+            target_window_hits=twh)
 
 
 def _rank_code(rank) -> int:

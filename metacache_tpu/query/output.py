@@ -371,6 +371,33 @@ def show_summary(out: TextIO, opt: OutputOptions, stats,
         out.write(f"{c}No valid query sequences found.\n")
 
 
+def show_matches_per_targets(out: TextIO, db: Database, target_matches,
+                             opt: OutputOptions):
+    """Hits-per-target table (printing.cpp:441-470).
+
+    target_matches: dict target_node -> [(qid, [(win, hits), ...]), ...]
+    """
+    c, col = opt.format.comment, opt.format.column
+    out.write(f"{c}--- list of hits for each reference sequence ---\n")
+    out.write(f"{c}window start position within sequence = "
+              f"window_index * window_stride(="
+              f"{db.query_sketch_params.window_stride})\n")
+    out.write(f"{c}TABLE_LAYOUT:  sequence {col} windows_in_sequence "
+              f"{col}queryid/window_index:hits/window_index:hits/..."
+              f",queryid/...\n")
+    for node in target_matches:
+        entries = sorted(
+            target_matches[node],
+            key=lambda e: (e[1][0], e[1][-1], e[0]))
+        out.write(show_taxon_str(db, opt, node))
+        out.write(f"{col}{int(db.taxonomy.source_windows[node])}{col}")
+        parts = []
+        for qid, wins in entries:
+            parts.append(str(qid) +
+                         "".join(f"/{w}:{h}" for w, h in wins))
+        out.write(",".join(parts) + "\n")
+
+
 def show_abundance_table(out: TextIO, db: Database, tax_counts,
                          total_count: int, opt: OutputOptions):
     """(printing.cpp:482-497); tax_counts: list of (node, count) in
