@@ -142,7 +142,7 @@ def measure_tpu() -> float:
     db = load_all_shards(dbbase)
     classify = ClassifyParams(lowest_rank="species")
     pipeline = QueryPipelineParams(batch_size=8192, max_query_len=128,
-                                   max_locations_per_query=1024)
+                                   max_locations_per_query=256)
     eng = QueryEngine(db, classify, pipeline)
 
     # load all reads into encoded host buffers up front (I/O measured

@@ -16,11 +16,18 @@ Reference semantics reproduced (src/candidates.h:118-285):
   sorted by hits descending, ties in consume order (= ascending target id),
   truncated to maxCandidates.
 
-TPU-native formulation: the sliding window becomes a per-element batched
-binary search (hits_j = j - lowerbound(tgt_j, win_j - numWindows + 1) + 1),
-the per-target max becomes a segment-max, dedup-by-taxon becomes one
-three-key lexicographic sort, and the final selection one top_k — all
-static shapes [B, L].
+TPU-native formulation — random access is the one slow construct on TPU, so
+the per-element computations are expressed without gathers:
+
+  * the sliding-window left boundary (a per-element lower bound) is computed
+    by RANK-BY-SORT: queries (tgt, win-numWindows+1) are co-sorted with the
+    match list; a query's rank among matches (= its lower bound) falls out
+    of a cumulative count, and a second sort returns ranks to match order.
+    lax.sort lowers to a fast TPU custom call.
+  * per-target segment maxima / first-achiever positions use segmented
+    prefix scans (log-step shift/select, pure VPU) instead of scatter-based
+    segment reductions.
+  * dedup-by-taxon and final top-k are lexicographic sorts.
 """
 from __future__ import annotations
 
@@ -37,22 +44,80 @@ _BIG = jnp.int32(2**31 - 1)
 def _lower_bound_pairs(tgt, win, q_tgt, q_win):
     """Per-row lower bound over lexicographically sorted (tgt, win) pairs.
 
-    tgt, win: [B, L] sorted rows; q_tgt, q_win: [B, L] queries.
-    Returns [B, L] int32 insertion points. Manual binary search to stay in
-    int32 (no packing into 64-bit keys needed on TPU).
+    Unrolled binary search (take_along_axis steps). Used for the *bounded*
+    per-candidate window queries (small query counts); the per-element
+    lower bounds in generate_candidates use rank-by-sort instead.
     """
     B, L = tgt.shape
-    steps = max(1, L.bit_length())  # interval size L needs ceil(log2(L))+1 halvings
+    steps = max(1, L.bit_length())
     lo = jnp.zeros_like(q_tgt)
     hi = jnp.full_like(q_tgt, L)
     for _ in range(steps):
         mid = (lo + hi) >> 1
-        mt = jnp.take_along_axis(tgt, mid, axis=1)
-        mw = jnp.take_along_axis(win, mid, axis=1)
+        midc = jnp.minimum(mid, L - 1)
+        mt = jnp.take_along_axis(tgt, midc, axis=1)
+        mw = jnp.take_along_axis(win, midc, axis=1)
         less = (mt < q_tgt) | ((mt == q_tgt) & (mw < q_win))
         lo = jnp.where(less, mid + 1, lo)
         hi = jnp.where(less, hi, mid)
     return lo
+
+
+def _rank_lower_bound(tgt, win, q_win):
+    """left[b, j] = #{i : (tgt[b,i], win[b,i]) < (tgt[b,j], q_win[b,j])}
+    via co-sorting matches and queries (no random access)."""
+    B, L = tgt.shape
+    pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
+    is_item = jnp.concatenate(
+        [jnp.zeros((B, L), jnp.int32), jnp.ones((B, L), jnp.int32)], axis=1)
+    c_tgt = jnp.concatenate([tgt, tgt], axis=1)
+    c_win = jnp.concatenate([q_win, win], axis=1)
+    c_pay = jnp.concatenate([pos, pos], axis=1)
+    # queries sort before items with equal (tgt, win) => lower bound
+    s_tgt, s_win, s_item, s_pay = jax.lax.sort(
+        (c_tgt, c_win, is_item, c_pay), dimension=1, num_keys=3,
+        is_stable=False)
+    items_before = jax.lax.associative_scan(jnp.add, s_item, axis=1)
+    # at a query slot: number of items strictly before it
+    left_at_slot = items_before
+    # return ranks to query order: queries (is_item=0) first, by payload
+    _, _, back = jax.lax.sort((s_item, s_pay, left_at_slot), dimension=1,
+                              num_keys=2, is_stable=False)
+    return back[:, :L]
+
+
+def _seg_combine_max(a, b):
+    (v1, f1), (v2, f2) = a, b
+    return (jnp.where(f2, v2, jnp.maximum(v1, v2)), f1 | f2)
+
+
+def _seg_combine_min(a, b):
+    (v1, f1), (v2, f2) = a, b
+    return (jnp.where(f2, v2, jnp.minimum(v1, v2)), f1 | f2)
+
+
+def _segment_broadcast_max(values, new_seg):
+    """Per-element max over the element's whole segment (contiguous runs
+    marked by new_seg) via forward + backward segmented scans."""
+    fwd, _ = jax.lax.associative_scan(_seg_combine_max, (values, new_seg),
+                                      axis=1)
+    seg_end = jnp.concatenate(
+        [new_seg[:, 1:], jnp.ones_like(new_seg[:, :1])], axis=1)
+    r_v = jnp.flip(fwd, axis=1)
+    r_f = jnp.flip(seg_end, axis=1)
+    bwd, _ = jax.lax.associative_scan(_seg_combine_max, (r_v, r_f), axis=1)
+    return jnp.flip(bwd, axis=1)
+
+
+def _segment_broadcast_min(values, new_seg):
+    fwd, _ = jax.lax.associative_scan(_seg_combine_min, (values, new_seg),
+                                      axis=1)
+    seg_end = jnp.concatenate(
+        [new_seg[:, 1:], jnp.ones_like(new_seg[:, :1])], axis=1)
+    r_v = jnp.flip(fwd, axis=1)
+    r_f = jnp.flip(seg_end, axis=1)
+    bwd, _ = jax.lax.associative_scan(_seg_combine_min, (r_v, r_f), axis=1)
+    return jnp.flip(bwd, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("max_candidates",))
@@ -82,35 +147,25 @@ def generate_candidates(tgt, win, num_windows, target_cand_tax,
 
     # ---- per-element contiguous-range hit count --------------------------
     q_win = win - num_windows[:, None] + 1
-    left = _lower_bound_pairs(tgt, win, tgt, q_win)
+    left = _rank_lower_bound(tgt, win, q_win)
     hits = jnp.where(valid, pos - left + 1, 0).astype(jnp.int32)
-    beg = jnp.take_along_axis(win, jnp.minimum(left, L - 1), axis=1)
-    end = win
 
-    # ---- per-target best (segment max, first achiever) -------------------
+    # ---- per-target best (segmented scans, first achiever) ---------------
     new_seg = jnp.concatenate(
         [jnp.ones((B, 1), dtype=jnp.bool_), tgt[:, 1:] != tgt[:, :-1]], axis=1)
-    seg_id = (jnp.cumsum(new_seg, axis=1) - 1).astype(jnp.int32)
-
-    seg_max = jax.vmap(
-        lambda s, h: jax.ops.segment_max(h, s, num_segments=L,
-                                         indices_are_sorted=True))(seg_id, hits)
-    seg_best = jnp.take_along_axis(seg_max, seg_id, axis=1)
+    seg_best = _segment_broadcast_max(hits, new_seg)
     achiever = valid & (hits == seg_best)
-    first_pos = jax.vmap(
-        lambda s, p: jax.ops.segment_min(p, s, num_segments=L,
-                                         indices_are_sorted=True))(
-        seg_id, jnp.where(achiever, pos, _BIG))
-    rep = achiever & (pos == jnp.take_along_axis(first_pos, seg_id, axis=1))
+    first_pos = _segment_broadcast_min(jnp.where(achiever, pos, _BIG),
+                                       new_seg)
+    rep = achiever & (pos == first_pos)
 
     # ---- map targets to candidate taxa (merge below lowest rank) ---------
     safe_tgt = jnp.where(valid, tgt, T1 - 1)
     key = jnp.where(rep, target_cand_tax[safe_tgt], _BIG)
 
     # ---- dedup by taxon: keep max hits, first achiever on ties -----------
-    # sort by (key asc, hits desc, pos asc); winner = first of each key run
-    s_key, s_neg_hits, s_pos, s_hits, s_beg, s_end, s_tgt = jax.lax.sort(
-        (key, -hits, pos, hits, beg, end, tgt), dimension=1, num_keys=3,
+    s_key, s_neg_hits, s_pos, s_hits, s_left, s_end, s_tgt = jax.lax.sort(
+        (key, -hits, pos, hits, left, win, tgt), dimension=1, num_keys=3,
         is_stable=False)
     first_of_key = jnp.concatenate(
         [jnp.ones((B, 1), dtype=jnp.bool_), s_key[:, 1:] != s_key[:, :-1]],
@@ -122,10 +177,12 @@ def generate_candidates(tgt, win, num_windows, target_cand_tax,
     _, top_idx = jax.lax.top_k(score, max_candidates)
     take = lambda a: jnp.take_along_axis(a, top_idx, axis=1)
     top_ok = take(score) >= 0
+    top_left = jnp.clip(take(s_left), 0, L - 1)
+    beg = jnp.take_along_axis(win, top_left, axis=1)
     return {
         "tax": jnp.where(top_ok, take(s_key), 0),
         "hits": jnp.where(top_ok, take(s_hits), 0),
-        "beg": jnp.where(top_ok, take(s_beg), 0),
+        "beg": jnp.where(top_ok, beg, 0),
         "end": jnp.where(top_ok, take(s_end), 0),
         "tgt": jnp.where(top_ok, take(s_tgt), TARGET_SENTINEL),
     }

@@ -112,14 +112,20 @@ def lookup_matches(features, keys, offsets, loc_tgt, loc_win, lmax: int):
     cum_ex = cum - cnt
 
     # slot j of read b belongs to feature fi = #{features whose run ends <= j}
-    # = upper_bound(cum, j); location index = start[fi] + (j - cum_ex[fi])
-    slots = jnp.broadcast_to(jnp.arange(lmax, dtype=jnp.int32)[None, :],
-                             (B, lmax))
-    fi = row_upper_bound(cum, slots)
-    fi = jnp.minimum(fi, NF - 1).astype(jnp.int32)
-    d = slots - jnp.take_along_axis(cum_ex, fi, axis=1)
-    li = jnp.take_along_axis(start, fi, axis=1) + d
-    valid = slots < jnp.minimum(total_all, lmax)[:, None]
+    # and reads location start[fi] + (j - cum_ex[fi]).
+    # Gather-free: fi and the per-slot start/cum_ex values are computed by a
+    # fused compare/select-reduce over the (small) NF axis — random access
+    # into per-row arrays is the slowest construct on TPU, while
+    # broadcast-compare-reduce is pure VPU work.
+    slots = jnp.arange(lmax, dtype=jnp.int32)
+    run_covers = (cum_ex[:, None, :] <= slots[None, :, None]) & \
+        (slots[None, :, None] < cum[:, None, :])          # [B, lmax, NF]
+    # exactly one run covers each valid slot => a masked sum selects it
+    # (start - cum_ex may be negative, so sum, not max)
+    li = jnp.sum(jnp.where(run_covers,
+                           start[:, None, :] - cum_ex[:, None, :], 0),
+                 axis=2) + slots[None, :]
+    valid = slots[None, :] < jnp.minimum(total_all, lmax)[:, None]
     li = jnp.where(valid, li, 0)
 
     tgt = jnp.where(valid, loc_tgt[li], TARGET_SENTINEL)

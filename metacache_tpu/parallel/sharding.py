@@ -167,8 +167,11 @@ class ShardedQueryEngine:
         return (np.zeros((B, L), np.uint8), np.zeros(B, np.int32),
                 np.zeros((B, L), np.uint8), np.zeros(B, np.int32))
 
-    def classify_batch(self, codes1, lens1, codes2, lens2, n: int
-                       ) -> BatchResult:
+    def classify_batch(self, codes1, lens1, codes2, lens2, n: int,
+                       exclude_groups=None) -> BatchResult:
+        if exclude_groups is not None:
+            raise NotImplementedError(
+                "clade exclusion is not yet supported on the sharded engine")
         if self._compiled is None:
             self._compiled = self._build_fn()
         from ..ops import encode as _enc
