@@ -144,6 +144,9 @@ def get_query_options(args: ArgsParser, defaults: QueryModeOptions = None
     elif o.show_all_hits:
         o.map_view_mode = out_mod.MapViewMode.ALL
     o.show_ground_truth = e.determine_ground_truth
+    o.show_alignment = o.show_alignment or args.contains(
+        ["align", "alignment", "showalignment", "showalign", "show-align",
+         "show_align"])
 
     o.show_hits_per_target_list = o.show_hits_per_target_list or args.contains(
         ["hits-per-seq", "hitsperseq", "hits_per_seq", "hits-per-sequence",
@@ -262,6 +265,17 @@ class QueryProcessor:
         self.total_overflow = 0
         # target node -> [(qid, [(win, hits), ...]), ...]
         self.target_matches: Dict[int, List] = {}
+        self._seq_cache: Dict[str, List[str]] = {}
+
+    def _load_target_sequence(self, filename: str, index: int) -> str:
+        """Fetch record #index (1-based) of a reference file, with a
+        per-file cache (show_alignment re-reads source files,
+        classification.cpp:447-453)."""
+        if filename not in self._seq_cache:
+            self._seq_cache[filename] = [
+                r.data for r in sequence_io.read_sequences(filename)]
+        seqs = self._seq_cache[filename]
+        return seqs[index - 1] if 0 < index <= len(seqs) else ""
 
     def process_files(self, infiles: List[str], out: TextIO):
         timer = Timer()
@@ -300,7 +314,11 @@ class QueryProcessor:
                 encode_read_into(c2, l2, n, r2.data, L)
             else:
                 l2[n] = 0
-            meta.append((r1.index, r1.header))
+            if self.opt.output.show_alignment:
+                meta.append((r1.index, r1.header, r1.data,
+                             r2.data if r2 is not None else ""))
+            else:
+                meta.append((r1.index, r1.header))
             n += 1
             if n == B:
                 self._emit(c1, l1, c2, l2, n, meta, out)
@@ -314,7 +332,7 @@ class QueryProcessor:
         gts = None
         exclude_groups = None
         if self.exclusion:
-            gts = [ground_truth_node(self.db, h) for _, h in meta]
+            gts = [ground_truth_node(self.db, m[1]) for m in meta]
             exclude_groups = np.zeros(self.opt.pipeline.batch_size, np.int32)
             for i, g in enumerate(gts):
                 exclude_groups[i] = self.engine.exclusion_group_of(g)
@@ -324,7 +342,7 @@ class QueryProcessor:
         db, opt = self.db, self.opt
         ev = opt.evaluate
         for i in range(n):
-            qid, header = meta[i]
+            qid, header = meta[i][0], meta[i][1]
             best = int(res.best[i])
             gt = 0
             if gts is not None:
@@ -347,10 +365,16 @@ class QueryProcessor:
             if opt.output.show_hits_per_target_list and \
                     res.target_window_hits is not None:
                 self._collect_target_matches(res, i, qid)
+            suffix = ""
+            if opt.output.show_alignment and best:
+                suffix = out_mod.alignment_suffix_str(
+                    db, opt.output, meta[i][2], meta[i][3],
+                    res.cand_tax[i], res.cand_beg[i], res.cand_end[i],
+                    self._load_target_sequence)
             out_mod.show_query_mapping(
                 out, db, opt.output, qid, header, gt, best,
                 res.cand_tax[i], res.cand_hits[i], res.cand_beg[i],
-                res.cand_end[i])
+                res.cand_end[i], alignment_suffix=suffix)
 
     def _collect_target_matches(self, res, i: int, qid: int):
         """matches_per_target::insert semantics

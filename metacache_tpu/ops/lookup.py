@@ -31,19 +31,49 @@ from ..config import FEATURE_SENTINEL, TARGET_SENTINEL
 SENTINEL_U32 = jnp.uint32(FEATURE_SENTINEL)
 
 
-def global_lower_bound(keys, queries):
+RADIX_BITS = 16
+
+
+def build_radix_index(keys: "np.ndarray"):
+    """Host-side: bucket offsets for the top RADIX_BITS of the key space.
+
+    bucket_offsets[b] = first index whose key >> (32-RADIX_BITS) >= b, so a
+    query lands in [bucket_offsets[q>>16], bucket_offsets[(q>>16)+1]) and
+    the on-device binary search needs only log2(max bucket size) steps.
+    Returns (bucket_offsets [2^RADIX+1] int32, search_steps int).
+    """
+    import numpy as np
+    nb = 1 << RADIX_BITS
+    prefixes = (keys >> np.uint32(32 - RADIX_BITS)).astype(np.int64)
+    bucket_offsets = np.searchsorted(prefixes, np.arange(nb + 1),
+                                     side="left").astype(np.int32)
+    max_bucket = int(np.max(np.diff(bucket_offsets))) if len(keys) else 1
+    steps = max(1, int(max_bucket).bit_length())
+    return bucket_offsets, steps
+
+
+def global_lower_bound(keys, queries, bucket_offsets=None,
+                       search_steps=None):
     """Lower bound of each query in a sorted 1-D key array.
 
     Unrolled binary search keeping queries in their natural 2-D tiled
     layout — jnp.searchsorted flattens to 1-D, which on TPU forces
     expensive relayout copies between linear and (8,128)-tiled layouts
-    around every step.
+    around every step. With a radix prefix index (build_radix_index) the
+    search needs only log2(max bucket) steps instead of log2(F).
     keys: [F] sorted uint32; queries: [B, Q] uint32. Returns [B, Q] int32.
     """
     F = keys.shape[0]
-    steps = max(1, F.bit_length())
-    lo = jnp.zeros(queries.shape, dtype=jnp.int32)
-    hi = jnp.full(queries.shape, F, dtype=jnp.int32)
+    if bucket_offsets is not None:
+        bidx = (queries >> jnp.uint32(32 - RADIX_BITS)).astype(jnp.int32)
+        pair = jnp.stack([bucket_offsets[:-1], bucket_offsets[1:]], axis=1)
+        rng = pair[bidx]                      # [B, Q, 2] one row-gather
+        lo, hi = rng[..., 0], rng[..., 1]
+        steps = search_steps
+    else:
+        lo = jnp.zeros(queries.shape, dtype=jnp.int32)
+        hi = jnp.full(queries.shape, F, dtype=jnp.int32)
+        steps = max(1, F.bit_length())
     for _ in range(steps):
         mid = (lo + hi) >> 1
         mv = keys[jnp.minimum(mid, F - 1)]
@@ -75,7 +105,8 @@ def row_upper_bound(values, queries):
     return lo
 
 
-def lookup_matches(features, keys, offsets, loc_tgt, loc_win, lmax: int):
+def lookup_matches(features, keys, offsets, loc_tgt, loc_win, lmax: int,
+                   bucket_offsets=None, search_steps=None):
     """Gather + sort the match lists for a batch of reads.
 
     Args:
@@ -98,12 +129,14 @@ def lookup_matches(features, keys, offsets, loc_tgt, loc_win, lmax: int):
     B, NF = features.shape
     F = keys.shape[0]
 
-    idx = global_lower_bound(keys, features)
+    idx = global_lower_bound(keys, features, bucket_offsets, search_steps)
     idx = jnp.minimum(idx, F - 1)
     found = (keys[idx] == features) & (features != SENTINEL_U32)
 
-    start = offsets[idx].astype(jnp.int32)
-    cnt = (offsets[idx + 1] - offsets[idx]).astype(jnp.int32)
+    # fetch (offset[i], offset[i+1]) as one row-gather
+    off_pairs = jnp.stack([offsets[:-1], offsets[1:]], axis=1)[idx]
+    start = off_pairs[..., 0].astype(jnp.int32)
+    cnt = (off_pairs[..., 1] - off_pairs[..., 0]).astype(jnp.int32)
     cnt = jnp.where(found, cnt, 0)
 
     # exclusive cumsum of counts = output slot of each feature's first location
@@ -128,8 +161,10 @@ def lookup_matches(features, keys, offsets, loc_tgt, loc_win, lmax: int):
     valid = slots[None, :] < jnp.minimum(total_all, lmax)[:, None]
     li = jnp.where(valid, li, 0)
 
-    tgt = jnp.where(valid, loc_tgt[li], TARGET_SENTINEL)
-    win = jnp.where(valid, loc_win[li], jnp.int32(2**31 - 1))
+    # fetch (tgt, win) as one row-gather from the interleaved table
+    loc_pairs = jnp.stack([loc_tgt, loc_win], axis=1)[li]
+    tgt = jnp.where(valid, loc_pairs[..., 0], TARGET_SENTINEL)
+    win = jnp.where(valid, loc_pairs[..., 1], jnp.int32(2**31 - 1))
 
     # stable lexicographic sort by (tgt, win) per read
     tgt, win = jax.lax.sort((tgt, win), dimension=1, num_keys=2,

@@ -83,8 +83,15 @@ class ShardedQueryEngine:
             pipeline.max_query_len, p.window_size, p.window_stride))
 
         keys, offsets, tgts, wins = stack_shard_tables(dbs)
+        buckets = []
+        self._search_steps = 1
+        for i in range(keys.shape[0]):
+            bo, st = lookup.build_radix_index(keys[i])
+            buckets.append(bo)
+            self._search_steps = max(self._search_steps, st)
         shard = NamedSharding(mesh, P("shard"))
         repl = NamedSharding(mesh, P())
+        self._bucket_offsets = jax.device_put(np.stack(buckets), shard)
         self._keys = jax.device_put(keys, shard)
         self._offsets = jax.device_put(offsets, shard)
         self._loc_tgt = jax.device_put(tgts, shard)
@@ -107,15 +114,18 @@ class ShardedQueryEngine:
         k, S, W, stride = (p.kmer_size, p.sketch_size, p.window_size,
                            p.window_stride)
 
+        search_steps = self._search_steps
+
         def shard_fn(packed1, ambig1, lens1, packed2, ambig2, lens2,
                      keys, offsets, loc_tgt,
-                     loc_win, tct, lineage, hits_min, hits_diff):
+                     loc_win, buckets, tct, lineage, hits_min, hits_diff):
             from ..ops import encode
             codes1 = encode.unpack_codes(packed1, ambig1)
             codes2 = encode.unpack_codes(packed2, ambig2)
             # local shard block: leading axis of size 1
             keys, offsets = keys[0], offsets[0]
             loc_tgt, loc_win = loc_tgt[0], loc_win[0]
+            buckets = buckets[0]
             B = codes1.shape[0]
             feats = []
             for codes, lens in ((codes1, lens1), (codes2, lens2)):
@@ -130,7 +140,8 @@ class ShardedQueryEngine:
             features = jnp.concatenate(feats, axis=1)
 
             tgt, win, total, overflow = lookup.lookup_matches(
-                features, keys, offsets, loc_tgt, loc_win, lmax)
+                features, keys, offsets, loc_tgt, loc_win, lmax,
+                bucket_offsets=buckets, search_steps=search_steps)
             pair_len = jnp.maximum(lens1 + lens2, insert_max)
             num_windows = (2 + pair_len // stride).astype(jnp.int32)
             cand = cand_ops.generate_candidates(tgt, win, num_windows, tct, C)
@@ -157,6 +168,7 @@ class ShardedQueryEngine:
             shard_fn, mesh=mesh,
             in_specs=(P(), P(), P(), P(), P(), P(),   # reads replicated
                       P("shard"), P("shard"), P("shard"), P("shard"),
+                      P("shard"),
                       P(), P(), P(), P()),
             out_specs=(P(), P(), P(), P()),
             check_vma=False)
@@ -181,7 +193,7 @@ class ShardedQueryEngine:
             jnp.asarray(p1), jnp.asarray(a1), jnp.asarray(lens1),
             jnp.asarray(p2), jnp.asarray(a2), jnp.asarray(lens2),
             self._keys, self._offsets, self._loc_tgt, self._loc_win,
-            self._tct, self._lineage,
+            self._bucket_offsets, self._tct, self._lineage,
             jnp.int32(self.hits_min),
             jnp.float32(self.classify.hits_diff_fraction))
         return BatchResult(

@@ -49,15 +49,17 @@ def _window_starts_static(max_len: int, window: int, stride: int) -> List[int]:
     jax.jit,
     static_argnames=("k", "sketch_size", "window_size", "starts", "lmax",
                      "max_candidates", "highest_rank", "window_stride",
-                     "insert_size_max", "target_window_k"))
+                     "insert_size_max", "target_window_k", "search_steps"))
 def _query_batch_device(packed1, ambig1, lens1, packed2, ambig2, lens2,
                         keys, offsets, loc_tgt, loc_win, target_cand_tax,
                         ranked_lineage, hits_min, hits_diff,
                         exclude_groups=None, target_groups=None,
+                        bucket_offsets=None,
                         *, k: int, sketch_size: int, window_size: int,
                         window_stride: int, starts: Tuple[int, ...],
                         lmax: int, max_candidates: int, highest_rank: int,
-                        insert_size_max: int, target_window_k: int = 0):
+                        insert_size_max: int, target_window_k: int = 0,
+                        search_steps: int = None):
     """One fused device program: 2-bit-packed reads -> classification.
 
     exclude_groups/target_groups implement clade exclusion
@@ -81,7 +83,8 @@ def _query_batch_device(packed1, ambig1, lens1, packed2, ambig2, lens2,
     features = jnp.concatenate(feats, axis=1)
 
     tgt, win, total, overflow = lookup.lookup_matches(
-        features, keys, offsets, loc_tgt, loc_win, lmax)
+        features, keys, offsets, loc_tgt, loc_win, lmax,
+        bucket_offsets=bucket_offsets, search_steps=search_steps)
 
     if exclude_groups is not None and target_groups is not None:
         T1 = target_groups.shape[0]
@@ -159,6 +162,8 @@ class QueryEngine:
             pipeline.max_query_len, p.window_size, p.window_stride))
 
         keys, offsets, loc_tgt, loc_win = db.features.device_arrays()
+        bucket_offsets, self._search_steps = lookup.build_radix_index(keys)
+        self._bucket_offsets = jnp.asarray(bucket_offsets)
         self._keys = jnp.asarray(keys)
         self._offsets = jnp.asarray(offsets)
         self._loc_tgt = jnp.asarray(loc_tgt)
@@ -200,6 +205,7 @@ class QueryEngine:
             exclude_groups if exclude_groups is None
             else jnp.asarray(exclude_groups),
             None if exclude_groups is None else self._target_groups,
+            self._bucket_offsets,
             k=self.sketch_params.kmer_size,
             sketch_size=self.sketch_params.sketch_size,
             window_size=self.sketch_params.window_size,
@@ -209,7 +215,8 @@ class QueryEngine:
             max_candidates=self.classify.max_candidates,
             highest_rank=self.highest_rank,
             insert_size_max=self.classify.insert_size_max,
-            target_window_k=self.target_window_k)
+            target_window_k=self.target_window_k,
+            search_steps=self._search_steps)
         cand = out["cand"]
         twh = np.asarray(out["target_window_hits"]) \
             if self.target_window_k else None

@@ -268,7 +268,7 @@ def _taxon_header(opt: OutputOptions, prefix: str) -> str:
 def show_query_mapping(out: TextIO, db: Database, opt: OutputOptions,
                        query_id: int, header: str, ground_truth: int,
                        best_node: int, cand_tax, cand_hits, cand_beg,
-                       cand_end):
+                       cand_end, alignment_suffix: str = ""):
     """One mapping line (classification.cpp:583-632)."""
     if opt.map_view_mode == MapViewMode.NONE or (
             opt.map_view_mode == MapViewMode.MAPPED_ONLY and best_node == 0):
@@ -288,7 +288,40 @@ def show_query_mapping(out: TextIO, db: Database, opt: OutputOptions,
         parts.append(show_candidate_ranges_str(db, cand_beg, cand_end,
                                                cand_tax))
     parts.append(show_taxon_str(db, opt, best_node))
-    out.write(col.join(parts) + "\n")
+    out.write(col.join(parts) + alignment_suffix + "\n")
+
+
+def alignment_suffix_str(db: Database, opt: OutputOptions, seq1: str,
+                         seq2: str, cand_tax, cand_beg, cand_end,
+                         sequence_loader) -> str:
+    """The '-align' appendix of a mapping line (show_alignment,
+    src/classification.cpp:437-477)."""
+    from . import align as align_mod
+    from ..db.taxonomy import Rank
+    node = int(cand_tax[0])
+    if node == 0 or db.taxonomy.rank[node] != Rank.SEQUENCE:
+        return ""
+    filename = db.taxonomy.source_filename[node]
+    index = int(db.taxonomy.source_index[node])
+    try:
+        tgt_seq = sequence_loader(filename, index)
+    except Exception as e:
+        if opt.show_errors:
+            import sys
+            print(e, file=sys.stderr)
+        return ""
+    if not tgt_seq:
+        return ""
+    w = db.sketch_params.window_stride
+    ws = db.sketch_params.window_size
+    beg, end = int(cand_beg[0]), int(cand_end[0])
+    subject = tgt_seq[w * beg: w * end + ws]
+    score, qa, sa = align_mod.best_alignment_for_query(seq1, seq2, subject)
+    cmt = opt.format.comment
+    return (f"\n{cmt}  score  {score}  aligned to "
+            f"{filename} #{index} in range [{w * beg},{w * end + w}]\n"
+            f"{cmt}  query  {qa}\n"
+            f"{cmt}  target {sa}")
 
 
 # ---------------------------------------------------------------------------
