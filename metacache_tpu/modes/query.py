@@ -295,6 +295,56 @@ class QueryProcessor:
         self.time_ms = timer.milliseconds()
 
     def _process_one(self, f1: str, f2: Optional[str], out: TextIO):
+        if not self.opt.output.show_alignment:
+            if self._process_one_native(f1, f2, out):
+                return
+        self._process_one_python(f1, f2, out)
+
+    def _process_one_native(self, f1: str, f2: Optional[str],
+                            out: TextIO) -> bool:
+        """Fast path: native C++ reader/encoder (native/mcio.cpp) feeding
+        packed batches, with one batch in flight (dispatch batch k+1 before
+        materializing batch k) so host formatting overlaps device compute.
+        Returns False if the native library is unavailable (caller falls
+        back to the pure-Python reader)."""
+        try:
+            from ..native import NativeBatchReader, load_mcio
+            if load_mcio() is None:
+                return False
+            reader = NativeBatchReader(
+                f1, f2, self.opt.pairing,
+                self.opt.pipeline.batch_size, self.opt.pipeline.max_query_len,
+                limit=self.opt.query_limit if self.opt.query_limit > 0
+                else -1)
+        except OSError:
+            return False
+        pending = None  # (device_out, n, meta)
+        for b in reader:
+            meta = list(zip(b.indices.tolist(), b.headers))
+            exclude_groups = None
+            gts = None
+            if self.exclusion:
+                gts = [ground_truth_node(self.db, h) for h in b.headers]
+                exclude_groups = np.zeros(self.opt.pipeline.batch_size,
+                                          np.int32)
+                for i, g in enumerate(gts):
+                    exclude_groups[i] = self.engine.exclusion_group_of(g)
+            dev = self.engine.dispatch_packed(
+                b.packed1, b.ambig1, b.lens1, b.packed2, b.ambig2, b.lens2,
+                exclude_groups=exclude_groups)
+            if pending is not None:
+                self._finalize(pending, out)
+            pending = (dev, b.n, meta, gts)
+        if pending is not None:
+            self._finalize(pending, out)
+        return True
+
+    def _finalize(self, pending, out: TextIO):
+        dev, n, meta, gts = pending
+        res = self.engine.materialize(dev, n)
+        self._postprocess(res, n, meta, gts, out)
+
+    def _process_one_python(self, f1: str, f2: Optional[str], out: TextIO):
         B = self.opt.pipeline.batch_size
         L = self.opt.pipeline.max_query_len
         c1, l1, c2, l2 = self.engine.make_host_buffers()
@@ -338,6 +388,9 @@ class QueryProcessor:
                 exclude_groups[i] = self.engine.exclusion_group_of(g)
         res = self.engine.classify_batch(c1, l1, c2, l2, n,
                                          exclude_groups=exclude_groups)
+        self._postprocess(res, n, meta, gts, out)
+
+    def _postprocess(self, res, n, meta, gts, out: TextIO):
         self.total_overflow += int(res.match_overflow[:n].sum())
         db, opt = self.db, self.opt
         ev = opt.evaluate

@@ -1,0 +1,201 @@
+"""Native (C++) host runtime for metacache-tpu.
+
+`mcio` — batched FASTA/FASTQ reading + 2-bit encoding/packing directly into
+the device batch layout (see mcio.cpp). The library is compiled on first
+use with g++ and cached next to this file; all callers must handle
+`load_mcio() is None` and fall back to the pure-Python readers in
+io/sequence_io.py (identical semantics, reference: src/sequence_io.cpp).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "mcio.cpp")
+_LIB = os.path.join(_DIR, "libmcio.so")
+
+_lock = threading.Lock()
+_lib = None
+_lib_failed = False
+
+PAIRING_CODE = {"none": 0, "": 0, None: 0, "files": 1, "sequences": 2}
+
+
+def _compile() -> bool:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
+           "-o", _LIB + ".tmp", "-lz"]
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+    if r.returncode != 0:
+        print("mcio build failed:", r.stderr[-800:], file=sys.stderr)
+        return False
+    os.replace(_LIB + ".tmp", _LIB)
+    return True
+
+
+def load_mcio():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _lib_failed
+    if _lib is not None:
+        return _lib
+    if _lib_failed:
+        return None
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        if not os.path.exists(_LIB) or \
+                os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            if not _compile():
+                _lib_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            _lib_failed = True
+            return None
+        lib.mcio_open.restype = ctypes.c_void_p
+        lib.mcio_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                  ctypes.c_int]
+        lib.mcio_next_batch.restype = ctypes.c_int64
+        lib.mcio_next_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p]
+        lib.mcio_error.restype = ctypes.c_char_p
+        lib.mcio_error.argtypes = [ctypes.c_void_p]
+        lib.mcio_close.restype = None
+        lib.mcio_close.argtypes = [ctypes.c_void_p]
+        lib.mcio_encode_batch.restype = None
+        lib.mcio_encode_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+class PackedBatch:
+    """One device-ready batch of (paired) reads."""
+
+    __slots__ = ("n", "packed1", "ambig1", "lens1", "packed2", "ambig2",
+                 "lens2", "headers", "indices")
+
+    def __init__(self, n, packed1, ambig1, lens1, packed2, ambig2, lens2,
+                 headers, indices):
+        self.n = n
+        self.packed1, self.ambig1, self.lens1 = packed1, ambig1, lens1
+        self.packed2, self.ambig2, self.lens2 = packed2, ambig2, lens2
+        self.headers: List[str] = headers
+        self.indices = indices
+
+
+class NativeBatchReader:
+    """Stream (paired) reads as packed device batches via libmcio.
+
+    Raises OSError if the file can't be opened, RuntimeError on format
+    errors — mirroring io.sequence_io exceptions.
+    """
+
+    def __init__(self, path1: str, path2: Optional[str], pairing: str,
+                 batch_size: int, max_len: int, limit: int = -1):
+        assert max_len % 8 == 0
+        self.lib = load_mcio()
+        if self.lib is None:
+            raise OSError("native mcio unavailable")
+        self.B, self.L = batch_size, max_len
+        self.limit = limit
+        self._served = 0
+        code = PAIRING_CODE.get(pairing, 0)
+        p2 = path2.encode() if (path2 and code == 1) else None
+        self.h = self.lib.mcio_open(path1.encode(), p2, code)
+        if not self.h:
+            raise OSError(f"can't open file {path1}" +
+                          (f" / {path2}" if path2 else ""))
+        self._hdr_cap = 1 << 22
+
+    def __iter__(self) -> Iterator[PackedBatch]:
+        return self
+
+    def __next__(self) -> PackedBatch:
+        if self.h is None:
+            raise StopIteration
+        B, L = self.B, self.L
+        if self.limit >= 0:
+            B = min(B, self.limit - self._served)
+            if B <= 0:
+                self.close()
+                raise StopIteration
+        p1 = np.zeros((self.B, L // 4), np.uint8)
+        a1 = np.zeros((self.B, L // 8), np.uint8)
+        l1 = np.zeros(self.B, np.int32)
+        p2 = np.zeros((self.B, L // 4), np.uint8)
+        a2 = np.zeros((self.B, L // 8), np.uint8)
+        l2 = np.zeros(self.B, np.int32)
+        hdr = np.zeros(self._hdr_cap, np.uint8)
+        off = np.zeros(self.B + 1, np.int64)
+        idx = np.zeros(self.B, np.int32)
+        n = self.lib.mcio_next_batch(
+            self.h, B, L,
+            p1.ctypes.data, a1.ctypes.data, l1.ctypes.data,
+            p2.ctypes.data, a2.ctypes.data, l2.ctypes.data,
+            hdr.ctypes.data, self._hdr_cap, off.ctypes.data,
+            idx.ctypes.data)
+        if n < 0:
+            msg = self.lib.mcio_error(self.h).decode()
+            self.close()
+            raise RuntimeError(msg)
+        if n == 0:
+            self.close()
+            raise StopIteration
+        self._served += n
+        hb = hdr.tobytes()
+        headers = [hb[off[i]:off[i + 1]].decode("utf-8", "replace")
+                   for i in range(n)]
+        return PackedBatch(int(n), p1, a1, l1, p2, a2, l2, headers,
+                           idx[:n].copy())
+
+    def close(self):
+        if self.h is not None:
+            self.lib.mcio_close(self.h)
+            self.h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def encode_batch(seqs: List[bytes], max_len: int):
+    """Encode raw sequences into packed rows via the native encoder.
+
+    Returns (packed [n, L/4], ambig [n, L/8], lens [n]) or None when the
+    native library is unavailable.
+    """
+    lib = load_mcio()
+    if lib is None:
+        return None
+    assert max_len % 8 == 0
+    n = len(seqs)
+    flat = b"".join(seqs)
+    buf = np.frombuffer(flat, np.uint8)
+    off = np.zeros(n + 1, np.int64)
+    np.cumsum([len(s) for s in seqs], out=off[1:])
+    packed = np.zeros((n, max_len // 4), np.uint8)
+    ambig = np.zeros((n, max_len // 8), np.uint8)
+    lens = np.zeros(n, np.int32)
+    lib.mcio_encode_batch(buf.ctypes.data if n else 0, off.ctypes.data, n,
+                          max_len, packed.ctypes.data, ambig.ctypes.data,
+                          lens.ctypes.data)
+    return packed, ambig, lens

@@ -1,0 +1,398 @@
+// Native batched sequence reader + 2-bit encoder for metacache-tpu.
+//
+// The TPU-native counterpart of the reference's C++ sequence readers
+// (src/sequence_io.cpp:100-324: fasta_reader/fastq_reader) and of the
+// host half of the read pipeline: parse FASTA/FASTQ (plain or gzip),
+// encode bases to 2-bit codes, and pack directly into the device batch
+// layout used by metacache_tpu.ops.encode.np_pack_codes:
+//
+//   packed[B, L/4]  uint8, 4 bases/byte, little-ordered
+//                   (c0 | c1<<2 | c2<<4 | c3<<6)
+//   ambig [B, L/8]  uint8 bitplane, bit i of byte j = position 8j+i is
+//                   ambiguous (non-ACGT, or padding past the read length)
+//   lens  [B]       int32 number of encoded chars (<= Lmax)
+//
+// Exposed as a plain C ABI consumed through ctypes
+// (metacache_tpu/native/__init__.py). The Python readers in
+// io/sequence_io.py remain the reference semantics + fallback path; this
+// file must behave identically for well-formed inputs:
+//   - format sniffing: extension hints, then first non-blank char
+//     ('>' fasta / '@' fastq) (src/sequence_io.cpp:527-560)
+//   - fasta: multi-line sequence data concatenated until next '>'
+//   - fastq: strict 4-line records, '+' quality header required
+//   - pairing mode "sequences": consecutive records of one file are mates
+//     (src/sequence_io.cpp:397-520); mode "files" is handled by the caller
+//     driving two handles in lock-step.
+//
+// Build: g++ -O3 -shared -fPIC mcio.cpp -o libmcio.so -lz
+#include <zlib.h>
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+// char -> 2-bit code; 255 = ambiguous. Mirrors ops/encode.py _LUT.
+struct Lut {
+    uint8_t v[256];
+    Lut() {
+        memset(v, 255, sizeof(v));
+        v['A'] = v['a'] = 0;
+        v['C'] = v['c'] = 1;
+        v['G'] = v['g'] = 2;
+        v['T'] = v['t'] = 3;
+    }
+};
+const Lut kLut;
+
+class LineReader {
+    // gzFile transparently reads plain files too.
+    gzFile f_ = nullptr;
+    std::vector<char> buf_;
+    size_t pos_ = 0, end_ = 0;
+    bool eof_ = false;
+
+  public:
+    bool open(const char* path) {
+        f_ = gzopen(path, "rb");
+        if (!f_) return false;
+        gzbuffer(f_, 1 << 20);
+        buf_.resize(1 << 20);
+        return true;
+    }
+    ~LineReader() {
+        if (f_) gzclose(f_);
+    }
+    // Appends the next line (without trailing \n / \r) to `out`.
+    // Returns false at EOF when no characters were read.
+    bool getline(std::string& out) {
+        out.clear();
+        bool any = false;
+        for (;;) {
+            if (pos_ >= end_) {
+                if (eof_) break;
+                int n = gzread(f_, buf_.data(), (unsigned)buf_.size());
+                if (n <= 0) {
+                    eof_ = true;
+                    break;
+                }
+                pos_ = 0;
+                end_ = (size_t)n;
+            }
+            char* nl = (char*)memchr(buf_.data() + pos_, '\n', end_ - pos_);
+            size_t take = nl ? (size_t)(nl - (buf_.data() + pos_))
+                             : end_ - pos_;
+            out.append(buf_.data() + pos_, take);
+            pos_ += take;
+            any = any || take > 0;
+            if (nl) {
+                ++pos_;  // skip '\n'
+                any = true;
+                break;
+            }
+        }
+        while (!out.empty() && out.back() == '\r') out.pop_back();
+        return any || !out.empty();
+    }
+};
+
+struct Record {
+    std::string header;
+    std::string data;
+    int32_t index = 0;  // 1-based within its file
+};
+
+class SeqReader {
+    LineReader lr_;
+    bool fastq_ = false;
+    bool started_ = false;
+    std::string pending_header_;  // fasta: header of the next record
+    std::string line_;
+    int32_t count_ = 0;
+    std::string error_;
+
+  public:
+    const char* error() const { return error_.empty() ? nullptr : error_.c_str(); }
+
+    bool open(const char* path) {
+        std::string p(path);
+        std::string low(p);
+        for (auto& c : low) c = (char)tolower(c);
+        auto ends = [&](const char* s) {
+            size_t n = strlen(s);
+            return low.size() >= n && low.compare(low.size() - n, n, s) == 0;
+        };
+        if (ends(".gz")) low.resize(low.size() - 3);
+        bool known = false;
+        if (ends(".fa") || ends(".fasta") || ends(".fna") || ends(".ffn") ||
+            ends(".faa") || ends(".frn")) {
+            fastq_ = false;
+            known = true;
+        } else if (ends(".fq") || ends(".fastq")) {
+            fastq_ = true;
+            known = true;
+        }
+        if (!lr_.open(path)) {
+            error_ = "can't open file";
+            return false;
+        }
+        if (!known) {
+            // content sniff: first non-blank char
+            for (;;) {
+                if (!lr_.getline(line_)) {
+                    error_ = "file format not recognized";
+                    return false;
+                }
+                size_t i = line_.find_first_not_of(" \t");
+                if (i == std::string::npos) continue;
+                if (line_[i] == '>') {
+                    fastq_ = false;
+                } else if (line_[i] == '@') {
+                    fastq_ = true;
+                } else {
+                    error_ = "file format not recognized";
+                    return false;
+                }
+                // hand the sniffed line to next():
+                pending_header_ = line_.substr(i + 1);
+                started_ = true;
+                break;
+            }
+        }
+        return true;
+    }
+
+    // Returns: 1 = record produced, 0 = eof, -1 = format error.
+    int next(Record& rec) {
+        rec.header.clear();
+        rec.data.clear();
+        if (fastq_) return next_fastq(rec);
+        return next_fasta(rec);
+    }
+
+  private:
+    int next_fasta(Record& rec) {
+        if (!started_) {
+            // find the first header line
+            for (;;) {
+                if (!lr_.getline(line_)) return 0;
+                if (!line_.empty() && line_[0] == '>') {
+                    pending_header_ = line_.substr(1);
+                    started_ = true;
+                    break;
+                }
+                if (!line_.empty()) {
+                    error_ =
+                        "malformed fasta file - expected header char > "
+                        "not found";
+                    return -1;
+                }
+            }
+        }
+        if (pending_header_.empty() && count_ > 0) {
+            // EOF was reached previously
+        }
+        rec.header = pending_header_;
+        pending_header_.clear();
+        bool have_next = false;
+        while (lr_.getline(line_)) {
+            if (!line_.empty() && line_[0] == '>') {
+                pending_header_ = line_.substr(1);
+                have_next = true;
+                break;
+            }
+            rec.data += line_;
+        }
+        if (rec.header.empty() && rec.data.empty() && !have_next) return 0;
+        rec.index = ++count_;
+        if (!have_next) started_ = false;  // next call: EOF (no pending)
+        else started_ = true;
+        return 1;
+    }
+
+    int next_fastq(Record& rec) {
+        std::string h;
+        if (started_ && !pending_header_.empty()) {
+            h = "@" + pending_header_;  // from sniffing
+            pending_header_.clear();
+        } else {
+            if (!lr_.getline(h)) return 0;
+            if (h.empty()) return 0;
+        }
+        if (h[0] != '@') {
+            error_ = "malformed fastq file - sequence header: " + h;
+            return -1;
+        }
+        rec.header = h.substr(1);
+        if (!lr_.getline(rec.data)) rec.data.clear();
+        std::string plus, qual;
+        if (!lr_.getline(plus)) plus.clear();
+        if (plus.empty() || plus[0] != '+') {
+            error_ = "malformed fastq file - quality header: " + plus;
+            return -1;
+        }
+        lr_.getline(qual);
+        rec.index = ++count_;
+        return 1;
+    }
+};
+
+struct Handle {
+    SeqReader r1;
+    SeqReader r2;
+    bool paired_files = false;
+    bool paired_sequences = false;
+    std::string error;
+};
+
+// Encode rec.data[0:Lmax] into one packed row + ambig row and set len.
+// Rows must be zeroed by the caller; padding positions get ambig bits set
+// (matching encode_read_into + np_pack_codes: padding code 255).
+void encode_row(const std::string& data, int Lmax, uint8_t* packed,
+                uint8_t* ambig, int32_t* len) {
+    int n = (int)data.size();
+    if (n > Lmax) n = Lmax;
+    *len = n;
+    for (int i = 0; i < n; ++i) {
+        uint8_t c = kLut.v[(uint8_t)data[i]];
+        if (c == 255) {
+            ambig[i >> 3] |= (uint8_t)(1u << (i & 7));
+        } else {
+            packed[i >> 2] |= (uint8_t)(c << ((i & 3) << 1));
+        }
+    }
+    for (int i = n; i < Lmax; ++i)
+        ambig[i >> 3] |= (uint8_t)(1u << (i & 7));
+}
+
+}  // namespace
+
+extern "C" {
+
+// pairing: 0 = none, 1 = files (path2 != null), 2 = sequences
+void* mcio_open(const char* path1, const char* path2, int pairing) {
+    Handle* h = new Handle();
+    h->paired_files = pairing == 1;
+    h->paired_sequences = pairing == 2;
+    if (!h->r1.open(path1)) {
+        delete h;
+        return nullptr;
+    }
+    if (h->paired_files) {
+        if (!path2 || !h->r2.open(path2)) {
+            delete h;
+            return nullptr;
+        }
+    }
+    return h;
+}
+
+// Read up to B records (pairs in paired modes) into batch buffers.
+//   packed1 [B, Lmax/4], ambig1 [B, Lmax/8], lens1 [B]   (zeroed by caller)
+//   packed2/ambig2/lens2: mate buffers (may receive len 0 when unpaired)
+//   headers: concatenated header bytes; hdr_off[B+1] prefix offsets
+//   indices [B]: 1-based record index of read 1 within its file
+// Returns number of records read (>= 0), or -1 on format error
+// (mcio_error() returns the message).
+int64_t mcio_next_batch(void* vh, int64_t B, int64_t Lmax, uint8_t* packed1,
+                        uint8_t* ambig1, int32_t* lens1, uint8_t* packed2,
+                        uint8_t* ambig2, int32_t* lens2, char* headers,
+                        int64_t headers_cap, int64_t* hdr_off,
+                        int32_t* indices) {
+    Handle* h = (Handle*)vh;
+    const int64_t p4 = Lmax / 4, p8 = Lmax / 8;
+    Record rec1, rec2;
+    int64_t n = 0;
+    int64_t hpos = 0;
+    hdr_off[0] = 0;
+    while (n < B) {
+        int s = h->r1.next(rec1);
+        if (s < 0) {
+            h->error = h->r1.error() ? h->r1.error() : "read error";
+            return -1;
+        }
+        if (s == 0) break;
+        bool have2 = false;
+        if (h->paired_files) {
+            int s2 = h->r2.next(rec2);
+            if (s2 < 0) {
+                h->error = h->r2.error() ? h->r2.error() : "read error";
+                return -1;
+            }
+            have2 = s2 == 1;
+        } else if (h->paired_sequences) {
+            int s2 = h->r1.next(rec2);
+            if (s2 < 0) {
+                h->error = h->r1.error() ? h->r1.error() : "read error";
+                return -1;
+            }
+            have2 = s2 == 1;
+        }
+        // skip fully empty records (header or data missing), like
+        // QueryProcessor._process_one does (r1.empty -> continue)
+        if (rec1.header.empty() || rec1.data.empty()) {
+            if (!h->paired_files && !h->paired_sequences) continue;
+            if (!have2 || rec2.header.empty() || rec2.data.empty()) continue;
+            // mate 1 empty but mate 2 present: mirror python behavior
+            // (r1.empty -> pair skipped)
+            continue;
+        }
+        encode_row(rec1.data, (int)Lmax, packed1 + n * p4, ambig1 + n * p8,
+                   lens1 + n);
+        if (have2 && !rec2.data.empty()) {
+            encode_row(rec2.data, (int)Lmax, packed2 + n * p4,
+                       ambig2 + n * p8, lens2 + n);
+        } else {
+            lens2[n] = 0;
+        }
+        int64_t hl = (int64_t)rec1.header.size();
+        if (hpos + hl > headers_cap) {
+            h->error = "header buffer overflow";
+            return -1;
+        }
+        memcpy(headers + hpos, rec1.header.data(), (size_t)hl);
+        hpos += hl;
+        hdr_off[n + 1] = hpos;
+        indices[n] = rec1.index;
+        ++n;
+    }
+    return n;
+}
+
+const char* mcio_error(void* vh) {
+    Handle* h = (Handle*)vh;
+    return h->error.c_str();
+}
+
+void mcio_close(void* vh) { delete (Handle*)vh; }
+
+// ---------------------------------------------------------------------------
+// Standalone batch encoder: raw sequence bytes -> packed batch rows.
+// Used by the build pipeline for long genome sequences (windows are cut
+// on device). seqs = concatenated bytes, off[n+1] prefix offsets.
+void mcio_encode_batch(const uint8_t* seqs, const int64_t* off, int64_t n,
+                       int64_t Lmax, uint8_t* packed, uint8_t* ambig,
+                       int32_t* lens) {
+    const int64_t p4 = Lmax / 4, p8 = Lmax / 8;
+    for (int64_t r = 0; r < n; ++r) {
+        const uint8_t* s = seqs + off[r];
+        int64_t len = off[r + 1] - off[r];
+        if (len > Lmax) len = Lmax;
+        lens[r] = (int32_t)len;
+        uint8_t* pk = packed + r * p4;
+        uint8_t* am = ambig + r * p8;
+        for (int64_t i = 0; i < len; ++i) {
+            uint8_t c = kLut.v[s[i]];
+            if (c == 255)
+                am[i >> 3] |= (uint8_t)(1u << (i & 7));
+            else
+                pk[i >> 2] |= (uint8_t)(c << ((i & 3) << 1));
+        }
+        for (int64_t i = len; i < Lmax; ++i)
+            am[i >> 3] |= (uint8_t)(1u << (i & 7));
+    }
+}
+
+}  // extern "C"

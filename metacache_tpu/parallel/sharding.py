@@ -181,14 +181,25 @@ class ShardedQueryEngine:
 
     def classify_batch(self, codes1, lens1, codes2, lens2, n: int,
                        exclude_groups=None) -> BatchResult:
+        from ..ops import encode as _enc
+        p1, a1 = _enc.np_pack_codes(codes1)
+        p2, a2 = _enc.np_pack_codes(codes2)
+        return self.classify_batch_packed(p1, a1, lens1, p2, a2, lens2, n,
+                                          exclude_groups=exclude_groups)
+
+    def classify_batch_packed(self, p1, a1, lens1, p2, a2, lens2, n: int,
+                              exclude_groups=None) -> BatchResult:
+        out = self.dispatch_packed(p1, a1, lens1, p2, a2, lens2,
+                                   exclude_groups=exclude_groups)
+        return self.materialize(out, n)
+
+    def dispatch_packed(self, p1, a1, lens1, p2, a2, lens2,
+                        exclude_groups=None):
         if exclude_groups is not None:
             raise NotImplementedError(
                 "clade exclusion is not yet supported on the sharded engine")
         if self._compiled is None:
             self._compiled = self._build_fn()
-        from ..ops import encode as _enc
-        p1, a1 = _enc.np_pack_codes(codes1)
-        p2, a2 = _enc.np_pack_codes(codes2)
         merged, best, best_rank, ovf = self._compiled(
             jnp.asarray(p1), jnp.asarray(a1), jnp.asarray(lens1),
             jnp.asarray(p2), jnp.asarray(a2), jnp.asarray(lens2),
@@ -196,6 +207,11 @@ class ShardedQueryEngine:
             self._bucket_offsets, self._tct, self._lineage,
             jnp.int32(self.hits_min),
             jnp.float32(self.classify.hits_diff_fraction))
+        return {"cand": merged, "best": best, "best_rank": best_rank,
+                "match_overflow": ovf}
+
+    def materialize(self, out, n: int) -> BatchResult:
+        merged = out["cand"]
         return BatchResult(
             n=n,
             cand_tax=np.asarray(merged["tax"]),
@@ -203,5 +219,6 @@ class ShardedQueryEngine:
             cand_beg=np.asarray(merged["beg"]),
             cand_end=np.asarray(merged["end"]),
             cand_tgt=np.asarray(merged["tgt"]),
-            best=np.asarray(best), best_rank=np.asarray(best_rank),
-            match_overflow=np.asarray(ovf))
+            best=np.asarray(out["best"]),
+            best_rank=np.asarray(out["best_rank"]),
+            match_overflow=np.asarray(out["match_overflow"]))

@@ -196,6 +196,23 @@ class QueryEngine:
         """Classify a (padded) batch; first `n` rows are valid reads."""
         p1, a1 = encode.np_pack_codes(codes1)
         p2, a2 = encode.np_pack_codes(codes2)
+        return self.classify_batch_packed(p1, a1, lens1, p2, a2, lens2, n,
+                                          exclude_groups=exclude_groups)
+
+    def classify_batch_packed(self, p1, a1, lens1, p2, a2, lens2, n: int,
+                              exclude_groups=None) -> BatchResult:
+        """Classify a batch already in packed form (see native.mcio /
+        ops.encode.np_pack_codes). Synchronous wrapper over dispatch."""
+        out = self.dispatch_packed(p1, a1, lens1, p2, a2, lens2,
+                                   exclude_groups=exclude_groups)
+        return self.materialize(out, n)
+
+    def dispatch_packed(self, p1, a1, lens1, p2, a2, lens2,
+                        exclude_groups=None):
+        """Enqueue the device program; returns on-device outputs without
+        blocking (JAX dispatch is async), enabling host/device overlap —
+        the TPU counterpart of the reference's reader/worker thread overlap
+        (src/querying.h:749-830)."""
         out = _query_batch_device(
             p1, a1, lens1, p2, a2, lens2,
             self._keys, self._offsets, self._loc_tgt, self._loc_win,
@@ -217,6 +234,10 @@ class QueryEngine:
             insert_size_max=self.classify.insert_size_max,
             target_window_k=self.target_window_k,
             search_steps=self._search_steps)
+        return out
+
+    def materialize(self, out, n: int) -> BatchResult:
+        """Block on a dispatched batch and pull results to host."""
         cand = out["cand"]
         twh = np.asarray(out["target_window_hits"]) \
             if self.target_window_k else None
