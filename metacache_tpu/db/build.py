@@ -36,8 +36,10 @@ from .database import Database
 from .feature_table import FeatureTable
 from .taxonomy import NONE_TAXID, Rank, Taxonomy
 
-#: windows per device batch during build
-BUILD_WINDOW_BATCH = 1024
+#: windows per device batch during build (large batches amortize the
+#: per-dispatch host<->device transfer cost, which dominates on tunneled
+#: devices)
+BUILD_WINDOW_BATCH = 8192
 
 
 class TripleAccumulator:
@@ -74,39 +76,78 @@ class WindowBatcher:
         self._win = np.zeros(batch_size, np.int32)
         self._n = 0
 
+    _pending = None  # in-flight device sketch (double buffering)
+
     def add_sequence(self, seq_codes: np.ndarray, target_id: int) -> int:
         """Queue all windows of one sequence; returns the window count
-        (incl. tail windows — for_each_window, src/dna_encoding.h:261-276)."""
-        starts = encode.window_starts(len(seq_codes), self.p.window_size,
-                                      self.p.window_stride)
-        for wi, s in enumerate(starts):
-            chunk = seq_codes[s:s + self.p.window_size]
-            i = self._n
-            self._codes[i, :len(chunk)] = chunk
-            self._codes[i, len(chunk):] = 255
-            self._lens[i] = len(chunk)
-            self._tgt[i] = target_id
-            self._win[i] = wi
-            self._n += 1
+        (incl. tail windows — for_each_window, src/dna_encoding.h:261-276).
+
+        Windowing is vectorized: full windows are strided views into the
+        sequence, copied batch-row-block at a time (the reference's scalar
+        per-window loop would dominate build time host-side)."""
+        W, stride = self.p.window_size, self.p.window_stride
+        L = len(seq_codes)
+        starts = encode.window_starts(L, W, stride)
+        n_win = len(starts)
+        lens = np.minimum(L - starts, W).astype(np.int32)
+        wins = np.full((n_win, W), 255, np.uint8)
+        if L <= W:
+            wins[0, :L] = seq_codes
+        else:
+            sv = np.lib.stride_tricks.sliding_window_view(seq_codes, W)
+            full = lens == W
+            wins[full] = sv[starts[full]]
+            for i in np.nonzero(~full)[0]:  # at most the tail window
+                s = starts[i]
+                wins[i, :lens[i]] = seq_codes[s:s + lens[i]]
+        wi = 0
+        while wi < n_win:
+            take = min(self.batch_size - self._n, n_win - wi)
+            sl = slice(self._n, self._n + take)
+            self._codes[sl] = wins[wi:wi + take]
+            self._lens[sl] = lens[wi:wi + take]
+            self._tgt[sl] = target_id
+            self._win[sl] = np.arange(wi, wi + take, dtype=np.int32)
+            self._n += take
+            wi += take
             if self._n == self.batch_size:
                 self.flush()
-        return len(starts)
+        return n_win
 
     def flush(self):
-        if self._n == 0:
-            return
-        n = self._n
-        sk = np.asarray(sketch.sketch_windows(
-            self._codes, self._lens, self.p.kmer_size, self.p.sketch_size))
-        sk = sk[:n]
+        """Dispatch the current window batch; materialize the previous one
+        (one batch in flight overlaps device sketching with host packing)."""
+        if self._n:
+            # pass copies: jnp.asarray may alias the numpy buffers
+            # (zero-copy on CPU, lazy transfer through a tunnel) and the
+            # batch buffers are refilled while this dispatch is in flight
+            sk_dev = sketch.sketch_windows(
+                self._codes.copy(), self._lens.copy(), self.p.kmer_size,
+                self.p.sketch_size)
+            pending = (sk_dev, self._n, self._tgt[:self._n].copy(),
+                       self._win[:self._n].copy())
+            self._n = 0
+        else:
+            pending = None
+        if self._pending is not None:
+            self._drain(*self._pending)
+        self._pending = pending
+
+    def finish(self):
+        self.flush()
+        if self._pending is not None:
+            self._drain(*self._pending)
+            self._pending = None
+
+    def _drain(self, sk_dev, n, tgt, win):
+        sk = np.asarray(sk_dev)[:n]
         valid = sk != FEATURE_SENTINEL
         counts = valid.sum(axis=1)
         f = sk[valid]
-        t = np.repeat(self._tgt[:n], counts)
-        w = np.repeat(self._win[:n], counts)
+        t = np.repeat(tgt, counts)
+        w = np.repeat(win, counts)
         self.triples.add(f.astype(np.uint32), t.astype(np.int32),
                          w.astype(np.int32))
-        self._n = 0
 
 
 @dataclasses.dataclass
@@ -209,7 +250,7 @@ def build_database(infiles: Sequence[str], opt: BuildOptions,
         except sequence_io.FormatError as e:
             # per-file errors are caught and logged (mode_build.cpp:630-643)
             print(f"FAIL: {path}: {e}")
-    batcher.flush()
+    batcher.finish()
 
     # post-build taxon mapping files (taxpostmap)
     if opt.taxpostmap:
@@ -265,7 +306,7 @@ def build_database_from_records(records, params: BuildParams = None,
         node = taxonomy.add_node(-(tgt + 1), parent or NONE_TAXID, sid,
                                  Rank.SEQUENCE, source_windows=windows)
         target_nodes.append(node)
-    batcher.flush()
+    batcher.finish()
     f, t, w = triples.concat()
     ft = FeatureTable.from_triples(f, t, w, params.max_locations_per_feature)
     return Database(

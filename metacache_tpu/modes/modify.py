@@ -59,7 +59,7 @@ def main_mode_modify(args: ArgsParser) -> int:
                 added += 1
         except sequence_io.FormatError as e:
             print(f"FAIL: {path}: {e}", file=sys.stderr)
-    batcher.flush()
+    batcher.finish()
 
     f, t, w = triples.concat()
     new_ft = FeatureTable.from_triples(f, t, w,

@@ -394,6 +394,17 @@ class QueryProcessor:
         self.total_overflow += int(res.match_overflow[:n].sum())
         db, opt = self.db, self.opt
         ev = opt.evaluate
+        o = opt.output
+        # candidate tensors are only transferred from the device when an
+        # output mode actually displays them (BatchResult is lazy; slicing
+        # rows eagerly would defeat that)
+        need_cand = (o.show_top_hits or o.show_all_hits or o.show_locations
+                     or o.show_alignment or o.show_hits_per_target_list)
+        c_tax = res.cand_tax if need_cand else None
+        c_hits = res.cand_hits if need_cand else None
+        c_beg = res.cand_beg if need_cand else None
+        c_end = res.cand_end if need_cand else None
+        _none = np.zeros(0, np.int32)
         for i in range(n):
             qid, header = meta[i][0], meta[i][1]
             best = int(res.best[i])
@@ -422,12 +433,15 @@ class QueryProcessor:
             if opt.output.show_alignment and best:
                 suffix = out_mod.alignment_suffix_str(
                     db, opt.output, meta[i][2], meta[i][3],
-                    res.cand_tax[i], res.cand_beg[i], res.cand_end[i],
+                    c_tax[i], c_beg[i], c_end[i],
                     self._load_target_sequence)
             out_mod.show_query_mapping(
                 out, db, opt.output, qid, header, gt, best,
-                res.cand_tax[i], res.cand_hits[i], res.cand_beg[i],
-                res.cand_end[i], alignment_suffix=suffix)
+                c_tax[i] if need_cand else _none,
+                c_hits[i] if need_cand else _none,
+                c_beg[i] if need_cand else _none,
+                c_end[i] if need_cand else _none,
+                alignment_suffix=suffix)
 
     def _collect_target_matches(self, res, i: int, qid: int):
         """matches_per_target::insert semantics

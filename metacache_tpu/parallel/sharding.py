@@ -211,14 +211,4 @@ class ShardedQueryEngine:
                 "match_overflow": ovf}
 
     def materialize(self, out, n: int) -> BatchResult:
-        merged = out["cand"]
-        return BatchResult(
-            n=n,
-            cand_tax=np.asarray(merged["tax"]),
-            cand_hits=np.asarray(merged["hits"]),
-            cand_beg=np.asarray(merged["beg"]),
-            cand_end=np.asarray(merged["end"]),
-            cand_tgt=np.asarray(merged["tgt"]),
-            best=np.asarray(out["best"]),
-            best_rank=np.asarray(out["best_rank"]),
-            match_overflow=np.asarray(out["match_overflow"]))
+        return BatchResult(n, out)

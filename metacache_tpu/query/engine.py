@@ -127,19 +127,49 @@ def _query_batch_device(packed1, ambig1, lens1, packed2, ambig2, lens2,
     return out
 
 
-@dataclasses.dataclass
 class BatchResult:
-    """Host-side result of one classified batch (first n valid)."""
-    n: int
-    cand_tax: np.ndarray     # [B, C] taxonomy node indices
-    cand_hits: np.ndarray
-    cand_beg: np.ndarray
-    cand_end: np.ndarray
-    cand_tgt: np.ndarray
-    best: np.ndarray         # [B] node index, 0 = unclassified
-    best_rank: np.ndarray    # [B]
-    match_overflow: np.ndarray
-    target_window_hits: Optional[np.ndarray] = None  # [B, C, K]
+    """Result of one classified batch (first n valid reads).
+
+    Fields are pulled from the device LAZILY on first access and cached:
+    device->host transfers are the per-batch bottleneck on a tunneled TPU
+    (~12 MB/s observed), so the common output path (per-read taxon only)
+    must fetch just `best`/`best_rank`/`match_overflow` (~50 KB) and leave
+    the candidate tensors on device unless -tophits/-locations/-align/
+    -hits-per-seq actually need them.
+    """
+
+    _FIELDS = {
+        "best": ("best",),
+        "best_rank": ("best_rank",),
+        "match_overflow": ("match_overflow",),
+        "cand_tax": ("cand", "tax"),
+        "cand_hits": ("cand", "hits"),
+        "cand_beg": ("cand", "beg"),
+        "cand_end": ("cand", "end"),
+        "cand_tgt": ("cand", "tgt"),
+        "target_window_hits": ("target_window_hits",),
+    }
+
+    def __init__(self, n: int, out: Dict, has_target_window_hits=False):
+        self.n = n
+        self._out = out
+        self._has_twh = has_target_window_hits
+        self._cache: Dict[str, Optional[np.ndarray]] = {}
+
+    def __getattr__(self, name):
+        path = BatchResult._FIELDS.get(name)
+        if path is None:
+            raise AttributeError(name)
+        cache = self.__dict__["_cache"]
+        if name not in cache:
+            if name == "target_window_hits" and not self._has_twh:
+                cache[name] = None
+            else:
+                v = self._out
+                for k in path:
+                    v = v[k]
+                cache[name] = np.asarray(v)
+        return cache[name]
 
 
 class QueryEngine:
@@ -237,19 +267,9 @@ class QueryEngine:
         return out
 
     def materialize(self, out, n: int) -> BatchResult:
-        """Block on a dispatched batch and pull results to host."""
-        cand = out["cand"]
-        twh = np.asarray(out["target_window_hits"]) \
-            if self.target_window_k else None
-        return BatchResult(
-            n=n,
-            cand_tax=np.asarray(cand["tax"]), cand_hits=np.asarray(cand["hits"]),
-            cand_beg=np.asarray(cand["beg"]), cand_end=np.asarray(cand["end"]),
-            cand_tgt=np.asarray(cand["tgt"]),
-            best=np.asarray(out["best"]),
-            best_rank=np.asarray(out["best_rank"]),
-            match_overflow=np.asarray(out["match_overflow"]),
-            target_window_hits=twh)
+        """Wrap a dispatched batch; fields transfer lazily on access."""
+        return BatchResult(n, out,
+                           has_target_window_hits=bool(self.target_window_k))
 
 
 def _rank_code(rank) -> int:

@@ -77,10 +77,14 @@ def top_ops(pb_path, n=25):
         counts = collections.Counter()
         for line in lines:
             evs = []
+            lname = ""
             for f3, w3, v3 in fields(line):
                 if f3 == 4 and w3 == 2:
                     evs.append(v3)
-            if len(evs) < 50:
+                elif f3 == 2 and w3 == 2:
+                    lname = v3.decode(errors="replace")
+            if lname and ("step" in lname.lower() or
+                          "framework" in lname.lower()):
                 continue
             for ev in evs:
                 mid = None
