@@ -155,9 +155,12 @@ def measure_tpu() -> float:
         "files", pipeline.batch_size, pipeline.max_query_len))
 
     log("warmup/compile ...")
-    b0 = batches[0]
-    eng.classify_batch_packed(b0.packed1, b0.ambig1, b0.lens1,
-                              b0.packed2, b0.ambig2, b0.lens2, b0.n)
+    # one full untimed pre-round: the first executions after a (remote)
+    # compile pay one-time program-load/autotune costs of several seconds
+    for b in batches:
+        res = eng.classify_batch_packed(b.packed1, b.ambig1, b.lens1,
+                                        b.packed2, b.ambig2, b.lens2, b.n)
+        res.best  # force the transfer (BatchResult is lazy)
 
     # steady-state pipelined throughput: keep the device queue full
     # (dispatch is async); block only on materialization — exactly how

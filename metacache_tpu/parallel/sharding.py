@@ -36,14 +36,20 @@ from ..query.engine import BatchResult, _rank_code, _window_starts_static
 
 
 def make_mesh(devices=None, axis: str = "shard") -> Mesh:
+    """Mesh over the given (default: ALL, incl. other hosts') devices."""
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.array(devices), (axis,))
 
 
-def stack_shard_tables(dbs: List[Database]):
-    """Pad all shard feature tables to common sizes and stack to [P, ...]."""
-    fmax = max(d.features.num_keys for d in dbs)
-    lmax = max(d.features.num_locations for d in dbs)
+def stack_shard_tables(dbs: List[Database], pad_keys_to=None,
+                       pad_locs_to=None):
+    """Pad shard feature tables to common sizes and stack to [P_local, ...].
+
+    Multi-host: every process must pad to the same (global) sizes; pass the
+    globally agreed pad_keys_to/pad_locs_to (see ShardedQueryEngine).
+    """
+    fmax = pad_keys_to or max(d.features.num_keys for d in dbs)
+    lmax = pad_locs_to or max(d.features.num_locations for d in dbs)
     keys, offsets, tgts, wins = [], [], [], []
     for d in dbs:
         k, o, t, w = d.features.device_arrays(pad_keys_to=fmax,
