@@ -28,6 +28,10 @@ MODES = ("help", "build", "modify", "query", "info", "annotate", "merge")
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     args = ArgsParser(argv)
+    # multi-host launch (the reference's MPI_Init, src/main.cpp:48):
+    # MC_COORDINATOR/MC_NUM_PROCS/MC_PROC_ID env -> jax.distributed
+    from .parallel.distributed import maybe_initialize
+    maybe_initialize()
     if not args.positionals:
         print("metacache-tpu — TPU-native metagenomic classifier\n"
               f"available modes: {', '.join(MODES)}\n"

@@ -53,19 +53,49 @@ def main_mode_build(args: ArgsParser, num_shards: int = 1,
     # allow overriding shard layout for single-host multi-shard builds
     num_shards = args.get(["num-shards", "num_shards"], num_shards, int)
 
+    # multi-process launch: one shard per process, exactly the reference's
+    # rank-gated build (add_target_distributed, sketch_database.h:519-563;
+    # per-rank file write, mode_build.cpp:1079-1091)
+    import jax
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        num_shards = max(num_shards, jax.process_count())
+        my_shards = [s for s in range(num_shards)
+                     if s % jax.process_count() == jax.process_index()]
+    else:
+        my_shards = list(range(num_shards)) if (shard_id < 0 or
+                                                num_shards > 1) \
+            else [shard_id]
+
     timer = Timer()
     timer.start()
     shard_dbs = []
-    for s in (range(num_shards) if shard_id < 0 or num_shards > 1
-              else [shard_id]):
+    for s in my_shards:
         db = build_mod.build_database(infiles, opt, num_shards=num_shards,
                                       shard_id=s)
         shard_dbs.append(db)
 
     if opt.params.remove_overpopulated_features:
-        # global counts across shards (mode_build.cpp:847-1074)
-        counts = build_mod.merge_shard_feature_counts(
-            [d.features for d in shard_dbs])
+        # global counts across shards (mode_build.cpp:847-1074); with
+        # multiple processes the (key, count) dumps are all-gathered over
+        # the coordinator (the reference's log2(P) Send/Recv tree + Bcast)
+        local = [d.features for d in shard_dbs]
+        counts = build_mod.merge_shard_feature_counts(local)
+        if multiproc:
+            from jax.experimental import multihost_utils
+            import numpy as _np
+            kv = _np.array(sorted(counts.items()), dtype=_np.int64) \
+                if counts else _np.zeros((0, 2), _np.int64)
+            n = _np.array([kv.shape[0]], _np.int64)
+            nmax = int(multihost_utils.process_allgather(n).max())
+            pad = _np.full((nmax, 2), -1, _np.int64)
+            pad[:kv.shape[0]] = kv
+            allkv = multihost_utils.process_allgather(pad)
+            counts = {}
+            for proc in range(allkv.shape[0]):
+                for key, c in allkv[proc]:
+                    if key >= 0:
+                        counts[int(key)] = counts.get(int(key), 0) + int(c)
         maxlocs = opt.params.max_locations_per_feature
         for db in shard_dbs:
             rem = db.remove_overpopulated_features(maxlocs,

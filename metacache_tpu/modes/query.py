@@ -507,24 +507,35 @@ def main_mode_query(args: ArgsParser) -> int:
 
     engine = None
     if args.contains("mesh"):
-        # distribute database shards over all local devices
-        # (per-shard lookup + all_gather candidate merge over ICI)
+        # distribute database shards over all devices — local (ICI) or
+        # across hosts when jax.distributed is initialized (DCN): shard s
+        # lives on global device s (the reference's per-rank DB files,
+        # mode_query.cpp:421-426)
         import jax
         from ..parallel import ShardedQueryEngine, make_mesh
+        from ..parallel import distributed as dist
         devices = jax.devices()
+        mesh = make_mesh(devices)
+        if jax.process_count() > 1:
+            want = dist.local_shard_ids(len(devices), mesh)
+        else:
+            want = list(range(len(devices)))
         shards = []
-        s = 0
-        while os.path.exists(shard_path(dbname, s)):
-            shards.append(Database.load(dbname, s))
-            s += 1
-        if len(shards) == len(devices) and len(devices) > 1:
+        missing = [s for s in want if not os.path.exists(
+            shard_path(dbname, s))]
+        if not missing and len(devices) > 1:
+            shards = [Database.load(dbname, s) for s in want]
             db = shards[0]
             _adapt_options_to_database(opt, db)
             engine = ShardedQueryEngine(shards, opt.classify, opt.pipeline,
-                                        make_mesh(devices))
+                                        mesh)
+            if jax.process_count() > 1 and jax.process_index() != 0:
+                # only process 0 writes results (rank 0 in the reference,
+                # querying.h:1088-1136)
+                opt.output.query_mappings_file = os.devnull
         else:
             print(f"-mesh: need one shard per device "
-                  f"({len(shards)} shards, {len(devices)} devices); "
+                  f"(missing {missing}, {len(devices)} devices); "
                   f"falling back to fused single-device query",
                   file=sys.stderr)
     if engine is None:

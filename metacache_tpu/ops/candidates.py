@@ -34,11 +34,12 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..config import TARGET_SENTINEL
 
-_BIG = jnp.int32(2**31 - 1)
+_BIG = np.int32(2**31 - 1)  # np scalar: no backend init at import
 
 
 def _lower_bound_pairs(tgt, win, q_tgt, q_win):

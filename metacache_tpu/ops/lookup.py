@@ -24,11 +24,12 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..config import FEATURE_SENTINEL, TARGET_SENTINEL
 
-SENTINEL_U32 = jnp.uint32(FEATURE_SENTINEL)
+SENTINEL_U32 = np.uint32(FEATURE_SENTINEL)  # np: no backend init at import
 
 
 RADIX_BITS = 16

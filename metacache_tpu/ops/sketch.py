@@ -29,7 +29,7 @@ from ..config import FEATURE_SENTINEL
 from .encode import window_kmers, np_window_kmers
 from .hashes import thomas_mueller_hash, np_thomas_mueller_hash
 
-SENTINEL = jnp.uint32(FEATURE_SENTINEL)
+SENTINEL = np.uint32(FEATURE_SENTINEL)  # np: no backend init at import
 
 
 @functools.partial(jax.jit, static_argnames=("k", "sketch_size"))

@@ -38,8 +38,9 @@ def maybe_initialize() -> tuple:
     Returns (process_index, process_count).
     """
     coord = os.environ.get("MC_COORDINATOR")
-    if coord and jax.process_count() == 1 and \
-            not getattr(maybe_initialize, "_done", False):
+    # NOTE: do not touch jax.process_count()/jax.devices() before
+    # jax.distributed.initialize — they initialize the XLA backend
+    if coord and not getattr(maybe_initialize, "_done", False):
         kwargs = {}
         ids = os.environ.get("MC_LOCAL_DEVICE_IDS")
         if ids:

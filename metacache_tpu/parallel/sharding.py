@@ -71,11 +71,21 @@ class ShardedQueryEngine:
     def __init__(self, dbs: List[Database], classify: ClassifyParams,
                  pipeline: QueryPipelineParams = QueryPipelineParams(),
                  mesh: Optional[Mesh] = None):
+        """dbs: this process's shards, in mesh-device order. Single-process:
+        all shards. Multi-process (jax.distributed initialized): only the
+        shards owned by this host's devices — shard s belongs to global
+        device s, mirroring the reference's per-rank DB files
+        (mode_query.cpp:421-426)."""
+        from . import distributed as dist
         if mesh is None:
             mesh = make_mesh()
         n_dev = mesh.devices.size
-        if len(dbs) != n_dev:
-            raise ValueError(f"{len(dbs)} shards for {n_dev} devices")
+        multiproc = jax.process_count() > 1
+        expected = len(dist.local_shard_ids(n_dev, mesh)) if multiproc \
+            else n_dev
+        if len(dbs) != expected:
+            raise ValueError(f"{len(dbs)} shards for {expected} "
+                             f"local devices")
         self.mesh = mesh
         self.db = dbs[0]          # taxonomy/targets replicated across shards
         self.classify = classify
@@ -88,25 +98,40 @@ class ShardedQueryEngine:
         self.starts = tuple(_window_starts_static(
             pipeline.max_query_len, p.window_size, p.window_stride))
 
-        keys, offsets, tgts, wins = stack_shard_tables(dbs)
+        pad_f = max(d.features.num_keys for d in dbs)
+        pad_l = max(d.features.num_locations for d in dbs)
+        if multiproc:
+            # all shards must pad to the same (global) table sizes, and the
+            # unrolled-search step count is a static compile parameter —
+            # agree across hosts
+            from jax.experimental import multihost_utils
+            g = multihost_utils.process_allgather(
+                np.array([pad_f, pad_l], np.int64))
+            pad_f, pad_l = int(g[:, 0].max()), int(g[:, 1].max())
+        keys, offsets, tgts, wins = stack_shard_tables(
+            dbs, pad_keys_to=pad_f, pad_locs_to=pad_l)
         buckets = []
-        self._search_steps = 1
+        radix_steps = 1
         for i in range(keys.shape[0]):
             bo, st = lookup.build_radix_index(keys[i])
             buckets.append(bo)
-            self._search_steps = max(self._search_steps, st)
-        shard = NamedSharding(mesh, P("shard"))
-        repl = NamedSharding(mesh, P())
-        self._bucket_offsets = jax.device_put(np.stack(buckets), shard)
-        self._keys = jax.device_put(keys, shard)
-        self._offsets = jax.device_put(offsets, shard)
-        self._loc_tgt = jax.device_put(tgts, shard)
-        self._loc_win = jax.device_put(wins, shard)
-        self._tct = jax.device_put(
-            self.db.target_cand_tax(self.lowest_rank), repl)
-        self._lineage = jax.device_put(
-            self.db.taxonomy.ranked_lineage.astype(np.int32), repl)
-        self._repl = repl
+            radix_steps = max(radix_steps, st)
+        if multiproc:
+            from jax.experimental import multihost_utils
+            g = multihost_utils.process_allgather(
+                np.array([radix_steps], np.int64))
+            radix_steps = int(g.max())
+        self._search_steps = radix_steps
+        self._bucket_offsets = dist.put_sharded(np.stack(buckets), mesh)
+        self._keys = dist.put_sharded(keys, mesh)
+        self._offsets = dist.put_sharded(offsets, mesh)
+        self._loc_tgt = dist.put_sharded(tgts, mesh)
+        self._loc_win = dist.put_sharded(wins, mesh)
+        self._tct = dist.put_replicated(
+            np.asarray(self.db.target_cand_tax(self.lowest_rank)), mesh)
+        self._lineage = dist.put_replicated(
+            self.db.taxonomy.ranked_lineage.astype(np.int32), mesh)
+        self._dist = dist
         self._compiled = None
 
     # ------------------------------------------------------------------
@@ -206,9 +231,16 @@ class ShardedQueryEngine:
                 "clade exclusion is not yet supported on the sharded engine")
         if self._compiled is None:
             self._compiled = self._build_fn()
+        if jax.process_count() > 1:
+            # every process streams the same reads (the reference's "all
+            # ranks read the same block", querying.h:749-790) -> replicate
+            put = lambda x: self._dist.put_replicated(np.asarray(x),
+                                                      self.mesh)
+        else:
+            put = jnp.asarray
         merged, best, best_rank, ovf = self._compiled(
-            jnp.asarray(p1), jnp.asarray(a1), jnp.asarray(lens1),
-            jnp.asarray(p2), jnp.asarray(a2), jnp.asarray(lens2),
+            put(p1), put(a1), put(lens1),
+            put(p2), put(a2), put(lens2),
             self._keys, self._offsets, self._loc_tgt, self._loc_win,
             self._bucket_offsets, self._tct, self._lineage,
             jnp.int32(self.hits_min),

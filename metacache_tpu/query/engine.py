@@ -168,8 +168,16 @@ class BatchResult:
                 v = self._out
                 for k in path:
                     v = v[k]
-                cache[name] = np.asarray(v)
+                cache[name] = _to_host(v)
         return cache[name]
+
+
+def _to_host(arr) -> np.ndarray:
+    """Device -> host, handling multi-host replicated outputs (not fully
+    addressable; read the local replica)."""
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    return np.asarray(arr.addressable_shards[0].data)
 
 
 class QueryEngine:
