@@ -32,20 +32,26 @@ from ..config import FEATURE_SENTINEL, TARGET_SENTINEL
 SENTINEL_U32 = np.uint32(FEATURE_SENTINEL)  # np: no backend init at import
 
 
-RADIX_BITS = 16
+RADIX_BITS = 16      # lower bound; build_radix_index widens adaptively
+MAX_RADIX_BITS = 22  # 2^22+1 int32 offsets = 16.8 MB per shard
 
 
 def build_radix_index(keys: "np.ndarray"):
-    """Host-side: bucket offsets for the top RADIX_BITS of the key space.
+    """Host-side: bucket offsets for the top `bits` of the key space.
 
-    bucket_offsets[b] = first index whose key >> (32-RADIX_BITS) >= b, so a
-    query lands in [bucket_offsets[q>>16], bucket_offsets[(q>>16)+1]) and
-    the on-device binary search needs only log2(max bucket size) steps.
-    Returns (bucket_offsets [2^RADIX+1] int32, search_steps int).
+    bucket_offsets[b] = first index whose key >> (32-bits) >= b, so a
+    query lands in [bucket_offsets[q>>(32-bits)], ...+1) and the on-device
+    binary search needs only log2(max bucket size) steps. `bits` widens
+    with the table so buckets stay O(1): each halving of the bucket size
+    removes one 1.9 ms key-gather step per batch (PERF.md).
+    Returns (bucket_offsets [2^bits+1] int32, search_steps int); the bit
+    width is recovered from the array length (len == 2^bits + 1).
     """
     import numpy as np
-    nb = 1 << RADIX_BITS
-    prefixes = (keys >> np.uint32(32 - RADIX_BITS)).astype(np.int64)
+    bits = min(MAX_RADIX_BITS,
+               max(RADIX_BITS, int(max(1, len(keys))).bit_length() + 2))
+    nb = 1 << bits
+    prefixes = (keys >> np.uint32(32 - bits)).astype(np.int64)
     bucket_offsets = np.searchsorted(prefixes, np.arange(nb + 1),
                                      side="left").astype(np.int32)
     max_bucket = int(np.max(np.diff(bucket_offsets))) if len(keys) else 1
@@ -66,7 +72,8 @@ def global_lower_bound(keys, queries, bucket_offsets=None,
     """
     F = keys.shape[0]
     if bucket_offsets is not None:
-        bidx = (queries >> jnp.uint32(32 - RADIX_BITS)).astype(jnp.int32)
+        bits = (bucket_offsets.shape[0] - 1).bit_length() - 1
+        bidx = (queries >> jnp.uint32(32 - bits)).astype(jnp.int32)
         pair = jnp.stack([bucket_offsets[:-1], bucket_offsets[1:]], axis=1)
         rng = pair[bidx]                      # [B, Q, 2] one row-gather
         lo, hi = rng[..., 0], rng[..., 1]

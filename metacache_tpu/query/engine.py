@@ -49,7 +49,8 @@ def _window_starts_static(max_len: int, window: int, stride: int) -> List[int]:
     jax.jit,
     static_argnames=("k", "sketch_size", "window_size", "starts", "lmax",
                      "max_candidates", "highest_rank", "window_stride",
-                     "insert_size_max", "target_window_k", "search_steps"))
+                     "insert_size_max", "target_window_k", "search_steps",
+                     "use_pallas_sketch"))
 def _query_batch_device(packed1, ambig1, lens1, packed2, ambig2, lens2,
                         keys, offsets, loc_tgt, loc_win, target_cand_tax,
                         ranked_lineage, hits_min, hits_diff,
@@ -59,7 +60,8 @@ def _query_batch_device(packed1, ambig1, lens1, packed2, ambig2, lens2,
                         window_stride: int, starts: Tuple[int, ...],
                         lmax: int, max_candidates: int, highest_rank: int,
                         insert_size_max: int, target_window_k: int = 0,
-                        search_steps: int = None):
+                        search_steps: int = None,
+                        use_pallas_sketch: bool = False):
     """One fused device program: 2-bit-packed reads -> classification.
 
     exclude_groups/target_groups implement clade exclusion
@@ -67,20 +69,32 @@ def _query_batch_device(packed1, ambig1, lens1, packed2, ambig2, lens2,
     target's ancestor group equals the read's ground-truth group are
     discarded before candidate generation.
     """
-    codes1 = encode.unpack_codes(packed1, ambig1)
-    codes2 = encode.unpack_codes(packed2, ambig2)
-    B, Lq = codes1.shape
-    feats = []
-    for codes, lens in ((codes1, lens1), (codes2, lens2)):
-        for s in starts:
-            wcodes = codes[:, s:s + window_size]
-            if wcodes.shape[1] < window_size:
-                pad = jnp.full((B, window_size - wcodes.shape[1]), 255,
-                               dtype=jnp.uint8)
-                wcodes = jnp.concatenate([wcodes, pad], axis=1)
-            wlen = jnp.clip(lens - s, 0, window_size)
-            feats.append(sketch.sketch_windows(wcodes, wlen, k, sketch_size))
-    features = jnp.concatenate(feats, axis=1)
+    B = packed1.shape[0]
+    if use_pallas_sketch:
+        # fused Pallas kernel (ops/sketch_pallas.py): unpack + kmer + hash
+        # + unique-min in one VMEM pass, bit-identical to the XLA path
+        from ..ops.sketch_pallas import sketch_packed_pallas
+        feats = [sketch_packed_pallas(
+            pk, am, ln, k=k, sketch_size=sketch_size,
+            window_size=window_size, starts=starts)
+            for pk, am, ln in ((packed1, ambig1, lens1),
+                               (packed2, ambig2, lens2))]
+        features = jnp.concatenate(feats, axis=1)
+    else:
+        codes1 = encode.unpack_codes(packed1, ambig1)
+        codes2 = encode.unpack_codes(packed2, ambig2)
+        feats = []
+        for codes, lens in ((codes1, lens1), (codes2, lens2)):
+            for s in starts:
+                wcodes = codes[:, s:s + window_size]
+                if wcodes.shape[1] < window_size:
+                    pad = jnp.full((B, window_size - wcodes.shape[1]), 255,
+                                   dtype=jnp.uint8)
+                    wcodes = jnp.concatenate([wcodes, pad], axis=1)
+                wlen = jnp.clip(lens - s, 0, window_size)
+                feats.append(sketch.sketch_windows(wcodes, wlen, k,
+                                                   sketch_size))
+        features = jnp.concatenate(feats, axis=1)
 
     tgt, win, total, overflow = lookup.lookup_matches(
         features, keys, offsets, loc_tgt, loc_win, lmax,
@@ -199,6 +213,11 @@ class QueryEngine:
         self.starts = tuple(_window_starts_static(
             pipeline.max_query_len, p.window_size, p.window_stride))
 
+        import os
+        self._use_pallas = (jax.default_backend() == "tpu"
+                            and pipeline.batch_size % 256 == 0
+                            and not os.environ.get("METACACHE_NO_PALLAS"))
+
         keys, offsets, loc_tgt, loc_win = db.features.device_arrays()
         bucket_offsets, self._search_steps = lookup.build_radix_index(keys)
         self._bucket_offsets = jnp.asarray(bucket_offsets)
@@ -271,7 +290,8 @@ class QueryEngine:
             highest_rank=self.highest_rank,
             insert_size_max=self.classify.insert_size_max,
             target_window_k=self.target_window_k,
-            search_steps=self._search_steps)
+            search_steps=self._search_steps,
+            use_pallas_sketch=self._use_pallas)
         return out
 
     def materialize(self, out, n: int) -> BatchResult:
