@@ -1,19 +1,23 @@
 """Pallas TPU kernel: fused read -> MinHash sketch.
 
 One VMEM pass per read tile fuses what the XLA path (ops/sketch.py)
-materializes as separate fusions with staged intermediates: 2-bit unpack,
-rolling canonical k-mer build, ambiguity masking, Thomas-Mueller hashing,
-and the s-round unique-min extraction (single_function_unique_min_hasher,
-reference src/hash_dna.h:50-182; k-mer iteration src/dna_encoding.h:305-348).
+materializes as separate staged intermediates: rolling canonical k-mer
+build, ambiguity masking, Thomas-Mueller hashing, and the s-round
+unique-min extraction (single_function_unique_min_hasher, reference
+src/hash_dna.h:50-182; k-mer iteration src/dna_encoding.h:305-348).
 
-Layout: reads arrive 2-bit packed ([B, L/4] u8 + ambiguity bitplane
-[B, L/8] u8, see ops/encode.np_pack_codes); the kernel processes a tile of
-TB reads at a time and emits, for each of the (static) window starts, the
-`s` ascending unique hash values (0xFFFFFFFF padded) — identical output to
-ops.sketch.sketch_windows stacked over windows.
+Mosaic (TPU) has no lane interleave/strided slice, so the kernel never
+unpacks to per-character arrays. K-mers are assembled **in packed 2-bit
+space**: 32-bit words spanning 16 chars are formed from 4 byte columns
+with lane rolls; a k-mer starting at char 4q+r is the 2-bit-groupwise
+reversal of `(W[q] >> 2r) | (next_byte << (32-2r))`. The MinHash is
+order-independent (s smallest unique values), so k-mers are processed in
+phase-major order (r = p mod 4) without ever materializing position-major
+layout. Ambiguity uses the same construction over a 2-bit ambiguity plane
+(prepared from the 1-bit wire plane by a tiny XLA prologue).
 
 Everything is elementwise VPU work over [TB, 128]-aligned tiles plus
-lane-axis min-reductions; no gathers, no sorts.
+lane-axis min-reductions; no gathers, no sorts, no lane shuffles.
 """
 from __future__ import annotations
 
@@ -40,13 +44,18 @@ def _tm_hash(x):
     return x
 
 
+def _group_reverse(x):
+    """Reverse the sixteen 2-bit groups of a u32 (packed c0..c15 ->
+    k-mer order c0<<30 | c1<<28 | ... | c15)."""
+    x = ((x >> 2) & jnp.uint32(0x33333333)) | ((x & jnp.uint32(0x33333333)) << 2)
+    x = ((x >> 4) & jnp.uint32(0x0F0F0F0F)) | ((x & jnp.uint32(0x0F0F0F0F)) << 4)
+    x = ((x >> 8) & jnp.uint32(0x00FF00FF)) | ((x & jnp.uint32(0x00FF00FF)) << 8)
+    return (x >> 16) | (x << 16)
+
+
 def _revcomp_u32(kmer, k: int):
     """Bit-twiddled reverse complement (src/dna_encoding.h:113-121)."""
-    s = kmer
-    s = ((s >> 2) & jnp.uint32(0x33333333)) | ((s & jnp.uint32(0x33333333)) << 2)
-    s = ((s >> 4) & jnp.uint32(0x0F0F0F0F)) | ((s & jnp.uint32(0x0F0F0F0F)) << 4)
-    s = ((s >> 8) & jnp.uint32(0x00FF00FF)) | ((s & jnp.uint32(0x00FF00FF)) << 8)
-    s = ((s >> 16) & jnp.uint32(0x0000FFFF)) | ((s & jnp.uint32(0x0000FFFF)) << 16)
+    s = _group_reverse(kmer)
     s = jnp.uint32(0xFFFFFFFF) - s
     shift = 32 - (k << 1)
     if shift:
@@ -54,57 +63,100 @@ def _revcomp_u32(kmer, k: int):
     return s
 
 
+def _shift_lanes(b, s: int):
+    """Logical left shift along the lane axis with zero fill (out[:, i] =
+    b[:, i+s]). NOT pltpu.roll: roll rotates over the PHYSICAL padded
+    128-lane register, so logical sizes < 128 pull in padding lanes."""
+    TB, n = b.shape
+    return jnp.concatenate([b[:, s:], jnp.zeros((TB, s), b.dtype)], axis=1)
+
+
+def _words_from_bytes(b):
+    """[TB, N] u32 byte values -> [TB, N] little-endian 4-byte windows:
+    out[:, i] = b[i] | b[i+1]<<8 | b[i+2]<<16 | b[i+3]<<24 (zero-filled at
+    the tail — callers mask positions that would read past the end)."""
+    return (b | (_shift_lanes(b, 1) << 8) | (_shift_lanes(b, 2) << 16)
+            | (_shift_lanes(b, 3) << 24))
+
+
 def _make_kernel(k: int, sketch_size: int, window_size: int,
                  starts: Tuple[int, ...], L: int):
-    """Kernel over one read tile: packed/ambig/lens -> features."""
+    """Kernel over one read tile: packed codes + 2-bit ambiguity plane +
+    lens -> features. Requires k == 16 (u32 k-mers spanning 4 bytes, the
+    reference's default and maximum for 32-bit k-mers)."""
+    if k != 16:
+        raise NotImplementedError("pallas sketch kernel requires k == 16")
+    P4 = L // 4
     n_win = len(starts)
-    NK = window_size - k + 1  # kmer slots per (padded) window
-    # characters needed beyond L so every window slice is in bounds
-    Lp = max(L, max(starts) + window_size)
 
-    def kernel(packed_ref, ambig_ref, lens_ref, out_ref):
-        packed = packed_ref[:].astype(jnp.uint32)      # [TB, L/4]
-        ambig_b = ambig_ref[:].astype(jnp.uint32)      # [TB, L/8]
+    def kernel(packed_ref, amb2_ref, lens_ref, out_ref):
+        packed = packed_ref[:].astype(jnp.uint32)      # [TB, P4]
+        amb2 = amb2_ref[:].astype(jnp.uint32)          # [TB, P4]
         lens = lens_ref[:]                             # [TB, 1] int32
         TB = packed.shape[0]
 
-        # unpack 2-bit codes and ambiguity flags to [TB, L]
-        codes = jnp.stack(
-            [(packed >> (2 * j)) & 3 for j in range(4)],
-            axis=2).reshape(TB, L)
-        amb = jnp.stack(
-            [(ambig_b >> j) & 1 for j in range(8)],
-            axis=2).reshape(TB, L)
-        if Lp > L:
-            codes = jnp.concatenate(
-                [codes, jnp.zeros((TB, Lp - L), jnp.uint32)], axis=1)
-            amb = jnp.concatenate(
-                [amb, jnp.ones((TB, Lp - L), jnp.uint32)], axis=1)
+        W = _words_from_bytes(packed)                  # chars 4q..4q+15
+        A = _words_from_bytes(amb2)                    # flags, bit 2i
+        nxtW = _shift_lanes(packed, 4)                 # byte q+4
+        nxtA = _shift_lanes(amb2, 4)
+
+        # k-mer start positions p = 4q + r, phase-major; [TB, P4] per phase
+        q4 = jax.lax.broadcasted_iota(jnp.int32, (TB, P4), 1) * 4
+        hs = []
+        for r in range(4):
+            if r == 0:
+                t, a = W, A
+            else:
+                t = (W >> (2 * r)) | (nxtW << (32 - 2 * r))
+                a = (A >> (2 * r)) | (nxtA << (32 - 2 * r))
+            kmer = _group_reverse(t)
+            bad = (a & jnp.uint32(0x55555555)) != 0
+            p = q4 + r
+            # unsigned elementwise min (arith.minui) is not legalizable on
+            # Mosaic either: take the min in sign-bit-flipped int32 space
+            bias = lambda u: jax.lax.bitcast_convert_type(
+                u ^ jnp.uint32(0x80000000), jnp.int32)
+            cb = jnp.minimum(bias(kmer), bias(_revcomp_u32(kmer, k)))
+            canon = jax.lax.bitcast_convert_type(cb, jnp.uint32) \
+                ^ jnp.uint32(0x80000000)
+            h = jnp.where(bad, jnp.uint32(SENT), _tm_hash(canon))
+            hs.append((p, h))
 
         for wi, s in enumerate(starts):
-            # rolling kmer over the window [s, s+window_size)
-            kmer = jnp.zeros((TB, NK), jnp.uint32)
-            bad = jnp.zeros((TB, NK), jnp.uint32)
-            for j in range(k):
-                kmer = (kmer << 2) | codes[:, s + j:s + j + NK]
-                bad = bad | amb[:, s + j:s + j + NK]
-            # validity: kmer must lie within this window's actual chars
-            wlen = jnp.clip(lens - s, 0, window_size)       # [TB, 1]
-            kpos = jax.lax.broadcasted_iota(jnp.int32, (TB, NK), 1)
-            valid = (kpos + k <= wlen) & (bad == 0)
-            canon = jnp.minimum(kmer, _revcomp_u32(kmer, k))
-            h = jnp.where(valid, _tm_hash(canon), jnp.uint32(SENT))
+            wlen = jnp.clip(lens - s, 0, window_size)   # [TB, 1]
+            # Mosaic has no unsigned reductions: bias into int32 with the
+            # order-preserving sign-bit flip; sentinel -> int32 max.
+            hb = []
+            for p, h in hs:
+                valid = (p >= s) & (p + k - s <= wlen)
+                hv = jnp.where(valid, h, jnp.uint32(SENT))
+                hb.append(jax.lax.bitcast_convert_type(
+                    hv ^ jnp.uint32(0x80000000), jnp.int32))
+            hcat = jnp.concatenate(hb, axis=1)          # [TB, 4*P4]
             # s rounds of (row min, retire all copies) = the s smallest
             # unique values, ascending (see ops/sketch.py equivalence note)
             outs = []
             for _ in range(sketch_size):
-                m = jnp.min(h, axis=1, keepdims=True)        # [TB, 1]
-                outs.append(m)
-                h = jnp.where(h == m, jnp.uint32(SENT), h)
+                m = jnp.min(hcat, axis=1, keepdims=True)
+                outs.append(jax.lax.bitcast_convert_type(m, jnp.uint32)
+                            ^ jnp.uint32(0x80000000))
+                hcat = jnp.where(hcat == m, jnp.int32(2**31 - 1), hcat)
             out_ref[:, wi * sketch_size:(wi + 1) * sketch_size] = \
                 jnp.concatenate(outs, axis=1)
 
     return kernel, n_win
+
+
+def _ambig_2bit_plane(ambig, L: int):
+    """XLA prologue: 1-bit ambiguity plane [B, L/8] -> 2-bit plane
+    [B, L/4] u8 (char i's flag at bit 2*(i&3) of byte i>>2)."""
+    B = ambig.shape[0]
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = ((ambig[:, :, None] >> shifts[None, None, :]) & 1)
+    bits = bits.reshape(B, L // 4, 4)
+    w = jnp.array([1, 4, 16, 64], jnp.uint8)
+    return jnp.sum(bits * w[None, None, :], axis=2,
+                   dtype=jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "sketch_size",
@@ -117,19 +169,21 @@ def sketch_packed_pallas(packed, ambig, lens, *, k: int, sketch_size: int,
 
     Args:
       packed: [B, L/4] uint8 (np_pack_codes layout)
-      ambig:  [B, L/8] uint8
+      ambig:  [B, L/8] uint8 ambiguity bitplane
       lens:   [B] int32
       starts: static window start offsets (engine._window_starts_static)
 
     Returns [B, len(starts)*sketch_size] uint32 features, each window's
     block ascending with 0xFFFFFFFF padding — identical to concatenating
-    ops.sketch.sketch_windows over the same windows.
+    ops.sketch.sketch_windows over the same windows (bit-parity tests in
+    tests/test_sketch_pallas.py).
     """
     B, P4 = packed.shape
     L = P4 * 4
     if B % tile:
         raise ValueError(f"batch {B} not a multiple of tile {tile}")
     kernel, n_win = _make_kernel(k, sketch_size, window_size, starts, L)
+    amb2 = _ambig_2bit_plane(ambig, L)
     lens2 = lens.reshape(B, 1).astype(jnp.int32)
     return pl.pallas_call(
         kernel,
@@ -137,7 +191,7 @@ def sketch_packed_pallas(packed, ambig, lens, *, k: int, sketch_size: int,
         in_specs=[
             pl.BlockSpec((tile, P4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, L // 8), lambda i: (i, 0),
+            pl.BlockSpec((tile, P4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -147,4 +201,4 @@ def sketch_packed_pallas(packed, ambig, lens, *, k: int, sketch_size: int,
         out_shape=jax.ShapeDtypeStruct((B, n_win * sketch_size),
                                        jnp.uint32),
         interpret=interpret,
-    )(packed, ambig, lens2)
+    )(packed, amb2, lens2)

@@ -214,9 +214,13 @@ class QueryEngine:
             pipeline.max_query_len, p.window_size, p.window_stride))
 
         import os
+        # Pallas fused sketch kernel: bit-identical (tests/test_sketch_pallas)
+        # but measured slightly slower than the XLA formulation on v5e
+        # (2.5 vs 1.6 ms standalone — XLA fuses this stage well), so it is
+        # opt-in rather than default.
         self._use_pallas = (jax.default_backend() == "tpu"
                             and pipeline.batch_size % 256 == 0
-                            and not os.environ.get("METACACHE_NO_PALLAS"))
+                            and bool(os.environ.get("METACACHE_PALLAS_SKETCH")))
 
         keys, offsets, loc_tgt, loc_win = db.features.device_arrays()
         bucket_offsets, self._search_steps = lookup.build_radix_index(keys)
