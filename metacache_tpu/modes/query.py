@@ -395,6 +395,9 @@ class QueryProcessor:
         db, opt = self.db, self.opt
         ev = opt.evaluate
         o = opt.output
+        if self._fast_path_ok(gts):
+            self._postprocess_fast(res, n, meta, out)
+            return
         # candidate tensors are only transferred from the device when an
         # output mode actually displays them (BatchResult is lazy; slicing
         # rows eagerly would defeat that)
@@ -442,6 +445,59 @@ class QueryProcessor:
                 c_beg[i] if need_cand else _none,
                 c_end[i] if need_cand else _none,
                 alignment_suffix=suffix)
+
+    def _fast_path_ok(self, gts) -> bool:
+        """True when per-read work is (stats, tax counts, default mapping
+        line) only — then the batch is processed vectorized + with a
+        node->string cache instead of a per-read Python loop. At >100k
+        pairs/s device throughput the Python loop would otherwise bound
+        the end-to-end rate."""
+        o, ev = self.opt.output, self.opt.evaluate
+        return (gts is None and not ev.precision
+                and not ev.determine_ground_truth
+                and ev.exclude_rank == Rank.NONE
+                and not o.show_hits_per_target_list
+                and not o.show_alignment and not o.show_top_hits
+                and not o.show_all_hits and not o.show_locations
+                and not o.show_ground_truth)
+
+    def _postprocess_fast(self, res, n, meta, out: TextIO):
+        o = self.opt.output
+        best_rank = res.best_rank[:n]
+        best = res.best[:n]
+        self.stats.assign_batch(best_rank)
+        if o.make_tax_counts:
+            nodes, cnts = np.unique(best[best != 0], return_counts=True)
+            for nd, ct in zip(nodes.tolist(), cnts.tolist()):
+                self.tax_counts[nd] = self.tax_counts.get(nd, 0) + ct
+        if o.map_view_mode == out_mod.MapViewMode.NONE:
+            return
+        mapped_only = o.map_view_mode == out_mod.MapViewMode.MAPPED_ONLY
+        cache = getattr(self, "_taxstr_cache", None)
+        if cache is None:
+            cache = self._taxstr_cache = {}
+        col = o.format.column
+        show_ids = o.show_query_ids
+        db = self.db
+        bl = best.tolist()
+        lines = []
+        for i in range(n):
+            b = bl[i]
+            if mapped_only and b == 0:
+                continue
+            s = cache.get(b)
+            if s is None:
+                s = out_mod.show_taxon_str(db, o, b)
+                cache[b] = s
+            hdr = meta[i][1]
+            sp = hdr.find(" ")
+            if sp != -1:
+                hdr = hdr[:sp]
+            if show_ids:
+                lines.append(f"{meta[i][0]}{col}{hdr}{col}{s}\n")
+            else:
+                lines.append(f"{hdr}{col}{s}\n")
+        out.write("".join(lines))
 
     def _collect_target_matches(self, res, i: int, qid: int):
         """matches_per_target::insert semantics
