@@ -180,6 +180,32 @@ class FeatureTable:
                             loc_tgt=self.loc_tgt[loc_keep],
                             loc_win=self.loc_win[loc_keep])
 
+    def packed_locations(self, pad_locs_to: Optional[int] = None):
+        """Locations packed into one int32 word (tgt << win_bits | win) when
+        the id widths allow it (tgt_bits + win_bits <= 31), else None.
+
+        Numeric order of the packed word equals lexicographic (tgt, win)
+        order, so the device lookup can gather half the bytes and run a
+        single-key merge sort (ops/lookup.py). Mirrors the reference's
+        packed `location{target, window}` struct (src/sketch_database.h:
+        157-189) — there for storage, here for HBM bandwidth.
+
+        Returns (packed [L] int32, win_bits int) or (None, 0).
+        """
+        if self.num_locations == 0:
+            return None, 0
+        tmax = int(self.loc_tgt.max())
+        wmax = int(self.loc_win.max())
+        win_bits = max(1, wmax.bit_length())
+        if max(1, tmax.bit_length()) + win_bits > 31:
+            return None, 0
+        L = pad_locs_to if pad_locs_to is not None else self.num_locations
+        packed = np.zeros(L, dtype=np.int32)
+        packed[:self.num_locations] = (
+            (self.loc_tgt.astype(np.int64) << win_bits)
+            | self.loc_win.astype(np.int64)).astype(np.int32)
+        return packed, win_bits
+
     # ------------------------------------------------------------ device view
     def device_arrays(self, pad_keys_to: Optional[int] = None,
                       pad_locs_to: Optional[int] = None):

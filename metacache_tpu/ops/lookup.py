@@ -113,8 +113,54 @@ def row_upper_bound(values, queries):
     return lo
 
 
+def _expand_slots(start, cum_ex, lmax: int):
+    """Per-slot location index via rank-by-sort (gather-free).
+
+    Slot j of a read belongs to the run (query feature) fi with
+    cum_ex[fi] <= j < cum_ex[fi] + cnt[fi]; the slot reads location
+    start[fi] + (j - cum_ex[fi]).  Materializing the [B, lmax, NF]
+    run-covers mask costs ~16 ms/batch in S(1)-staged traffic (PERF.md);
+    instead co-sort the runs (key = cum_ex, payload = start - cum_ex)
+    with the slot ids (key = slot) and propagate the most recent run's
+    payload forward.  Among runs sharing a cum_ex value only the last in
+    feature order has cnt > 0 (zero-length runs precede the one that
+    advances the cumsum), so "most recent item" is exactly the covering
+    run.  Slots past the read's total are garbage and must be masked by
+    the caller.  Returns li [B, lmax] int32 (location index per slot).
+    """
+    B, NF = start.shape
+    slots = jnp.arange(lmax, dtype=jnp.int32)
+    i_key = cum_ex
+    i_pos = jnp.broadcast_to(jnp.arange(NF, dtype=jnp.int32)[None, :],
+                             (B, NF))
+    i_pay = start - cum_ex
+    q_key = jnp.broadcast_to(slots[None, :], (B, lmax))
+    c_key = jnp.concatenate([i_key, q_key], axis=1)
+    c_flag = jnp.concatenate([jnp.zeros((B, NF), jnp.int32),
+                              jnp.ones((B, lmax), jnp.int32)], axis=1)
+    c_pos = jnp.concatenate([i_pos, q_key], axis=1)
+    c_pay = jnp.concatenate([i_pay, jnp.zeros((B, lmax), jnp.int32)], axis=1)
+    # items before queries at equal key; items in feature order
+    s_key, s_flag, s_pos, s_pay = jax.lax.sort(
+        (c_key, c_flag, c_pos, c_pay), dimension=1, num_keys=3,
+        is_stable=False)
+    is_item = s_flag == 0
+
+    def _carry_last(a, b):
+        (p1, f1), (p2, f2) = a, b
+        return (jnp.where(f2, p2, p1), f1 | f2)
+
+    pay, _ = jax.lax.associative_scan(_carry_last, (s_pay, is_item), axis=1)
+    # return query slots to slot order: queries (flag 1) land in the last
+    # lmax columns sorted by slot id
+    _, _, back = jax.lax.sort((s_flag, s_pos, pay), dimension=1, num_keys=2,
+                              is_stable=False)
+    return back[:, NF:] + slots[None, :]
+
+
 def lookup_matches(features, keys, offsets, loc_tgt, loc_win, lmax: int,
-                   bucket_offsets=None, search_steps=None):
+                   bucket_offsets=None, search_steps=None, loc_packed=None,
+                   win_bits: int = 0):
     """Gather + sort the match lists for a batch of reads.
 
     Args:
@@ -125,6 +171,13 @@ def lookup_matches(features, keys, offsets, loc_tgt, loc_win, lmax: int,
       loc_tgt:  [L] int32
       loc_win:  [L] int32
       lmax:     static per-read match-list capacity
+      loc_packed: optional [L] int32 pre-packed (tgt << win_bits | win)
+                location table (FeatureTable.packed_locations). When given,
+                the location fetch is a single-word gather and the per-read
+                merge sort a single-key sort — half the HBM traffic of the
+                pair path.
+      win_bits: static shift of the packed encoding (required with
+                loc_packed).
 
     Returns:
       (tgt, win, total, overflow):
@@ -153,30 +206,31 @@ def lookup_matches(features, keys, offsets, loc_tgt, loc_win, lmax: int,
     cum_ex = cum - cnt
 
     # slot j of read b belongs to feature fi = #{features whose run ends <= j}
-    # and reads location start[fi] + (j - cum_ex[fi]).
-    # Gather-free: fi and the per-slot start/cum_ex values are computed by a
-    # fused compare/select-reduce over the (small) NF axis — random access
-    # into per-row arrays is the slowest construct on TPU, while
-    # broadcast-compare-reduce is pure VPU work.
+    # and reads location start[fi] + (j - cum_ex[fi]) — rank-by-sort
+    # expansion (see _expand_slots).
     slots = jnp.arange(lmax, dtype=jnp.int32)
-    run_covers = (cum_ex[:, None, :] <= slots[None, :, None]) & \
-        (slots[None, :, None] < cum[:, None, :])          # [B, lmax, NF]
-    # exactly one run covers each valid slot => a masked sum selects it
-    # (start - cum_ex may be negative, so sum, not max)
-    li = jnp.sum(jnp.where(run_covers,
-                           start[:, None, :] - cum_ex[:, None, :], 0),
-                 axis=2) + slots[None, :]
+    li = _expand_slots(start, cum_ex, lmax)
     valid = slots[None, :] < jnp.minimum(total_all, lmax)[:, None]
     li = jnp.where(valid, li, 0)
 
-    # fetch (tgt, win) as one row-gather from the interleaved table
-    loc_pairs = jnp.stack([loc_tgt, loc_win], axis=1)[li]
-    tgt = jnp.where(valid, loc_pairs[..., 0], TARGET_SENTINEL)
-    win = jnp.where(valid, loc_pairs[..., 1], jnp.int32(2**31 - 1))
+    if loc_packed is not None:
+        # single-word gather + single-key sort; lexicographic (tgt, win)
+        # order == numeric packed order by construction
+        packed = jnp.where(valid, loc_packed[li], jnp.int32(2**31 - 1))
+        packed = jax.lax.sort(packed, dimension=1, is_stable=False)
+        ok = packed != jnp.int32(2**31 - 1)
+        tgt = jnp.where(ok, packed >> win_bits, TARGET_SENTINEL)
+        win = jnp.where(ok, packed & jnp.int32((1 << win_bits) - 1),
+                        jnp.int32(2**31 - 1))
+    else:
+        # fetch (tgt, win) as one row-gather from the interleaved table
+        loc_pairs = jnp.stack([loc_tgt, loc_win], axis=1)[li]
+        tgt = jnp.where(valid, loc_pairs[..., 0], TARGET_SENTINEL)
+        win = jnp.where(valid, loc_pairs[..., 1], jnp.int32(2**31 - 1))
 
-    # stable lexicographic sort by (tgt, win) per read
-    tgt, win = jax.lax.sort((tgt, win), dimension=1, num_keys=2,
-                            is_stable=True)
+        # stable lexicographic sort by (tgt, win) per read
+        tgt, win = jax.lax.sort((tgt, win), dimension=1, num_keys=2,
+                                is_stable=True)
 
     total = jnp.minimum(total_all, lmax)
     overflow = jnp.maximum(total_all - lmax, 0)

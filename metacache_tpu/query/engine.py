@@ -50,18 +50,19 @@ def _window_starts_static(max_len: int, window: int, stride: int) -> List[int]:
     static_argnames=("k", "sketch_size", "window_size", "starts", "lmax",
                      "max_candidates", "highest_rank", "window_stride",
                      "insert_size_max", "target_window_k", "search_steps",
-                     "use_pallas_sketch"))
+                     "use_pallas_sketch", "win_bits"))
 def _query_batch_device(packed1, ambig1, lens1, packed2, ambig2, lens2,
                         keys, offsets, loc_tgt, loc_win, target_cand_tax,
                         ranked_lineage, hits_min, hits_diff,
                         exclude_groups=None, target_groups=None,
-                        bucket_offsets=None,
+                        bucket_offsets=None, loc_packed=None,
                         *, k: int, sketch_size: int, window_size: int,
                         window_stride: int, starts: Tuple[int, ...],
                         lmax: int, max_candidates: int, highest_rank: int,
                         insert_size_max: int, target_window_k: int = 0,
                         search_steps: int = None,
-                        use_pallas_sketch: bool = False):
+                        use_pallas_sketch: bool = False,
+                        win_bits: int = 0):
     """One fused device program: 2-bit-packed reads -> classification.
 
     exclude_groups/target_groups implement clade exclusion
@@ -98,7 +99,8 @@ def _query_batch_device(packed1, ambig1, lens1, packed2, ambig2, lens2,
 
     tgt, win, total, overflow = lookup.lookup_matches(
         features, keys, offsets, loc_tgt, loc_win, lmax,
-        bucket_offsets=bucket_offsets, search_steps=search_steps)
+        bucket_offsets=bucket_offsets, search_steps=search_steps,
+        loc_packed=loc_packed, win_bits=win_bits)
 
     if exclude_groups is not None and target_groups is not None:
         T1 = target_groups.shape[0]
@@ -229,6 +231,8 @@ class QueryEngine:
         self._offsets = jnp.asarray(offsets)
         self._loc_tgt = jnp.asarray(loc_tgt)
         self._loc_win = jnp.asarray(loc_win)
+        packed, self._win_bits = db.features.packed_locations()
+        self._loc_packed = None if packed is None else jnp.asarray(packed)
         self._tct = jnp.asarray(db.target_cand_tax(self.lowest_rank))
         self._lineage = jnp.asarray(db.taxonomy.ranked_lineage)
 
@@ -284,6 +288,7 @@ class QueryEngine:
             else jnp.asarray(exclude_groups),
             None if exclude_groups is None else self._target_groups,
             self._bucket_offsets,
+            self._loc_packed,
             k=self.sketch_params.kmer_size,
             sketch_size=self.sketch_params.sketch_size,
             window_size=self.sketch_params.window_size,
@@ -295,7 +300,8 @@ class QueryEngine:
             insert_size_max=self.classify.insert_size_max,
             target_window_k=self.target_window_k,
             search_steps=self._search_steps,
-            use_pallas_sketch=self._use_pallas)
+            use_pallas_sketch=self._use_pallas,
+            win_bits=self._win_bits)
         return out
 
     def materialize(self, out, n: int) -> BatchResult:
