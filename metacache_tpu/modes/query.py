@@ -175,6 +175,14 @@ def get_query_options(args: ArgsParser, defaults: QueryModeOptions = None
             o.split_files = True
             o.query_mappings_file = split
 
+    import jax
+    if jax.default_backend() == "cpu":
+        # XLA:CPU takes minutes to compile the TPU-sized fused pipeline
+        # (B=4096, LMAX=2048); CPU runs are smoke/dev runs, so default to
+        # shapes that compile in tens of seconds. Explicit flags still win.
+        opt.pipeline = dataclasses.replace(
+            opt.pipeline, batch_size=512, max_locations_per_query=1024)
+
     batch = args.get(["batch-size", "batch_size"], None, int)
     if batch:
         opt.pipeline = dataclasses.replace(opt.pipeline, batch_size=batch)
@@ -319,7 +327,12 @@ class QueryProcessor:
         except OSError:
             return False
         pending = None  # (device_out, n, meta)
+        first = True
         for b in reader:
+            if first:
+                print("compiling query pipeline (cached after first run)...",
+                      file=sys.stderr)
+                first = False
             meta = list(zip(b.indices.tolist(), b.headers))
             exclude_groups = None
             gts = None
