@@ -33,7 +33,9 @@ SENTINEL_U32 = np.uint32(FEATURE_SENTINEL)  # np: no backend init at import
 
 
 RADIX_BITS = 16      # lower bound; build_radix_index widens adaptively
-MAX_RADIX_BITS = 22  # 2^22+1 int32 offsets = 16.8 MB per shard
+MAX_RADIX_BITS = 24  # 2^24+1 int32 offsets = 67 MB per shard (HBM is 16 GB;
+                     # each halving of the max bucket removes one ~1.9 ms
+                     # staged key-gather step per batch, PERF.md)
 
 
 def build_radix_index(keys: "np.ndarray"):
@@ -44,19 +46,22 @@ def build_radix_index(keys: "np.ndarray"):
     binary search needs only log2(max bucket size) steps. `bits` widens
     with the table so buckets stay O(1): each halving of the bucket size
     removes one 1.9 ms key-gather step per batch (PERF.md).
-    Returns (bucket_offsets [2^bits+1] int32, search_steps int); the bit
-    width is recovered from the array length (len == 2^bits + 1).
+    Returns (bucket_offsets [2^bits] int32, search_steps int); the bit
+    width is recovered from the array length (len == 2^bits).
     """
     import numpy as np
     bits = min(MAX_RADIX_BITS,
-               max(RADIX_BITS, int(max(1, len(keys))).bit_length() + 2))
+               max(RADIX_BITS, int(max(1, len(keys))).bit_length() + 4))
     nb = 1 << bits
     prefixes = (keys >> np.uint32(32 - bits)).astype(np.int64)
     bucket_offsets = np.searchsorted(prefixes, np.arange(nb + 1),
                                      side="left").astype(np.int32)
     max_bucket = int(np.max(np.diff(bucket_offsets))) if len(keys) else 1
     steps = max(1, int(max_bucket).bit_length())
-    return bucket_offsets, steps
+    # the device search derives hi = lo + 2^steps instead of gathering the
+    # bucket end (global_lower_bound) — keys past the bucket end are larger,
+    # so the lower bound still converges; encode the bound in `steps`
+    return bucket_offsets[:-1].copy(), steps
 
 
 def global_lower_bound(keys, queries, bucket_offsets=None,
@@ -72,11 +77,14 @@ def global_lower_bound(keys, queries, bucket_offsets=None,
     """
     F = keys.shape[0]
     if bucket_offsets is not None:
-        bits = (bucket_offsets.shape[0] - 1).bit_length() - 1
+        bits = int(bucket_offsets.shape[0]).bit_length() - 1
         bidx = (queries >> jnp.uint32(32 - bits)).astype(jnp.int32)
-        pair = jnp.stack([bucket_offsets[:-1], bucket_offsets[1:]], axis=1)
-        rng = pair[bidx]                      # [B, Q, 2] one row-gather
-        lo, hi = rng[..., 0], rng[..., 1]
+        lo = bucket_offsets[bidx]             # [B, Q] one word-gather
+        # hi = lo + (2^steps - 1) bounds the bucket: bit_length gives
+        # max_bucket <= 2^steps - 1, and an interval of that size converges
+        # in `steps` halvings; keys past the bucket end are larger, so the
+        # lower bound is unaffected by the over-wide interval
+        hi = lo + jnp.int32((1 << search_steps) - 1)
         steps = search_steps
     else:
         lo = jnp.zeros(queries.shape, dtype=jnp.int32)
