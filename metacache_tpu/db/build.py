@@ -330,7 +330,7 @@ def rank_unranked_targets(taxonomy: Taxonomy, target_nodes: List[int],
                     sequence_io.extract_ncbi_accession(name)):
             if key and key in mapping:
                 taxonomy.parent_taxid[node] = mapping[key]
-                taxonomy._lineage_cache = None
+                taxonomy.invalidate_caches()
                 break
 
 

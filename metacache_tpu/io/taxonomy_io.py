@@ -23,6 +23,10 @@ def read_taxon_names(names_file: str) -> Dict[int, str]:
     names: Dict[int, str] = {}
     with open(names_file) as f:
         for line in f:
+            # cheap prefilter: the category column must mention 'scientific'
+            # (full NCBI names.dmp is ~3.8M rows, most are synonyms)
+            if "scientific" not in line:
+                continue
             parts = [p.strip() for p in line.split("|")]
             if len(parts) < 4:
                 continue
@@ -63,13 +67,22 @@ def make_taxonomic_hierarchy(nodes_file: str, names_file: str = "",
 
     tax = Taxonomy()
     # merged old ids become alias nodes pointing at the new id
-    for old_id, new_id in merged.items():
-        tax.add_node(old_id, new_id, "", Rank.NONE)
+    if merged:
+        old_ids = list(merged.keys())
+        tax.bulk_add(old_ids, list(merged.values()),
+                     [""] * len(old_ids), [Rank.NONE] * len(old_ids))
 
     if nodes_file and os.path.exists(nodes_file):
+        # whole-file parse into columns, then ONE vectorized bulk_add —
+        # the full NCBI nodes.dmp (~2.4M rows) ingests in seconds
+        ids: List[int] = []
+        parents: List[int] = []
+        node_names: List[str] = []
+        ranks: List[int] = []
+        rank_cache: Dict[str, int] = {}
         with open(nodes_file) as f:
             for line in f:
-                parts = [p.strip() for p in line.split("|")]
+                parts = line.split("|", 3)
                 if len(parts) < 3:
                     continue
                 try:
@@ -78,19 +91,24 @@ def make_taxonomic_hierarchy(nodes_file: str, names_file: str = "",
                 except ValueError:
                     continue
                 rank_name_str = parts[2]
+                rank_code = rank_cache.get(rank_name_str)
+                if rank_code is None:
+                    rank_code = rank_from_name(rank_name_str)
+                    rank_cache[rank_name_str] = rank_code
                 name = names.get(taxid, "--")
                 if not name:
                     name = f"<{taxid}>"
-                taxid = merged.get(taxid, taxid)
-                parent = merged.get(parent, parent)
-                tax.add_node(taxid, parent, name,
-                             rank_from_name(rank_name_str))
+                ids.append(merged.get(taxid, taxid))
+                parents.append(merged.get(parent, parent))
+                node_names.append(name)
+                ranks.append(rank_code)
+        tax.bulk_add(ids, parents, node_names, ranks)
 
     # set rank of root (src/taxonomy_io.cpp:176)
     root = tax.node_of_id(1)
     if root:
         tax.rank[root] = Rank.ROOT
-        tax._lineage_cache = None
+        tax.invalidate_caches()
     return tax
 
 
