@@ -163,6 +163,8 @@ class BuildOptions:
     # post-build accession -> taxid mapping files
     taxpostmap: Tuple[str, ...] = ()
     reset_parents: bool = False
+    # silent | moderate | verbose (io_options.h:32, mode_build.cpp:102-106)
+    info_level: str = "moderate"
 
 
 def gather_input_files(infiles: Sequence[str], max_depth: int = 10) -> List[str]:
@@ -257,7 +259,9 @@ def build_database(infiles: Sequence[str], opt: BuildOptions,
         post_map: Dict[str, int] = {}
         for mf in opt.taxpostmap:
             taxonomy_io.read_sequence_to_taxon_id_mapping(mf, post_map)
-        rank_unranked_targets(taxonomy, target_nodes, post_map)
+        rank_unranked_targets(taxonomy, target_nodes, post_map,
+                              reset_parents=opt.reset_parents,
+                              info_level=opt.info_level)
 
     f, t, w = triples.concat()
     ft = FeatureTable.from_triples(
@@ -318,30 +322,69 @@ def build_database_from_records(records, params: BuildParams = None,
 
 
 def rank_unranked_targets(taxonomy: Taxonomy, target_nodes: List[int],
-                          mapping: Dict[str, int]):
-    """Attach parents to unranked sequence-level taxa from accession->taxid
-    maps (try_to_rank_unranked_targets, mode_build.cpp:414-539)."""
-    for node in target_nodes:
-        if taxonomy.parent_taxid[node] != NONE_TAXID:
-            continue
+                          mapping: Dict[str, int],
+                          reset_parents: bool = False,
+                          info_level: str = "moderate"):
+    """Attach parents to sequence-level taxa from accession->taxid maps
+    (try_to_rank_unranked_targets, mode_build.cpp:414-539).
+
+    With `reset_parents`, ALL targets are re-ranked (parents overwritten
+    from the mapping files) instead of only the still-unranked ones — the
+    upstream MetaCache semantics of `-reset-parents` (the MPI fork parses
+    the flag at mode_build.cpp:133 and keeps the `all_targets` helper at
+    :475 but never consumes it; we implement the intended behavior)."""
+    notify = info_level != "silent"
+    todo = [n for n in target_nodes
+            if reset_parents or taxonomy.parent_taxid[n] == NONE_TAXID]
+    if todo and notify:
+        print(f"{len(todo)} targets are unranked.")
+    changed = False
+    for node in todo:
         name = taxonomy.names[node]
         for key in (name,
                     sequence_io.extract_ncbi_accession_version(name),
                     sequence_io.extract_ncbi_accession(name)):
             if key and key in mapping:
                 taxonomy.parent_taxid[node] = mapping[key]
-                taxonomy.invalidate_caches()
+                changed = True
                 break
+    if changed:
+        taxonomy.invalidate_caches()
+    if notify:
+        remaining = [n for n in target_nodes
+                     if taxonomy.parent_taxid[n] == NONE_TAXID]
+        if not remaining:
+            print("All targets are ranked.")
+        else:
+            print(f"{len(remaining)} targets remain unranked."
+                  f"{taxonomy.names[remaining[0]]}")
+
+
+def merge_feature_count_arrays(keys: np.ndarray, counts: np.ndarray
+                               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Reduce concatenated (key, count) dumps to unique sorted keys with
+    summed counts — one vectorized pass."""
+    if len(keys) == 0:
+        return (np.zeros(0, np.uint32), np.zeros(0, np.int64))
+    uniq, inv = np.unique(keys, return_inverse=True)
+    sums = np.bincount(inv, weights=counts).astype(np.int64)
+    return uniq.astype(np.uint32), sums
 
 
 def merge_shard_feature_counts(
-        shard_tables: Iterable[FeatureTable]) -> Dict[int, int]:
-    """Global feature -> location-count map, the host-side analogue of the
-    reference's log2(P) tree merge of (key, count) dumps
-    (mode_build.cpp:865-1024)."""
-    total: Dict[int, int] = {}
+        shard_tables: Iterable[FeatureTable]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Global (sorted feature keys, location counts) across shards — the
+    host-side analogue of the reference's log2(P) tree merge of (key, count)
+    dumps (mode_build.cpp:865-1024). Fully vectorized: hundreds of millions
+    of keys would never finish as a per-key dict loop."""
+    all_keys = []
+    all_counts = []
     for ft in shard_tables:
         keys, counts = ft.feature_counts()
-        for k, c in zip(keys.tolist(), counts.tolist()):
-            total[k] = total.get(k, 0) + c
-    return total
+        all_keys.append(np.asarray(keys, dtype=np.uint32))
+        all_counts.append(np.asarray(counts, dtype=np.int64))
+    if not all_keys:
+        return (np.zeros(0, np.uint32), np.zeros(0, np.int64))
+    return merge_feature_count_arrays(np.concatenate(all_keys),
+                                      np.concatenate(all_counts))

@@ -73,19 +73,17 @@ class Database:
 
     # ------------------------------------------------------------ maintenance
     def remove_overpopulated_features(self, max_locs: int,
-                                      global_counts: Optional[Dict] = None
-                                      ) -> int:
+                                      global_counts=None) -> int:
         """Remove features whose (global) location count exceeds max_locs.
 
-        With `global_counts` (a dict feature->total count merged across
+        With `global_counts` (a `(keys, counts)` array pair merged across
         shards, the analogue of the reference's log2(P) count tree-merge at
         mode_build.cpp:865-1069), removal uses the global count; otherwise
         the local one."""
         if global_counts is not None:
-            keys = np.fromiter((k for k, c in global_counts.items()
-                                if c > max_locs), dtype=np.uint32,
-                               count=sum(1 for c in global_counts.values()
-                                         if c > max_locs))
+            gkeys, gcounts = global_counts
+            keys = np.asarray(gkeys, dtype=np.uint32)[
+                np.asarray(gcounts) > max_locs]
             self.features, removed = self.features.remove_keys(keys)
         else:
             self.features, removed = self.features.remove_overpopulated(max_locs)
@@ -205,3 +203,68 @@ def shard_path(basename: str, shard_id: int) -> str:
     if basename.endswith(".npz"):
         basename = basename[:-4]
     return f"{basename}_{shard_id}.npz"
+
+
+def bucket_size_moments(sizes: np.ndarray):
+    """(max, mean, stddev, skewness) of location-list sizes — the analogue
+    of the reference's moments accumulator used for DB stats
+    (src/stat_moments.h, consumed at src/sketch_database.h:1021-1032)."""
+    if len(sizes) == 0:
+        return 0, 0.0, 0.0, 0.0
+    s = sizes.astype(np.float64)
+    mean = float(s.mean())
+    var = float(s.var())
+    std = var ** 0.5
+    skew = float(((s - mean) ** 3).mean() / (std ** 3)) if std > 0 else 0.0
+    return int(s.max()), mean, std, skew
+
+
+def print_static_properties(db: Database):
+    """DB property echo, layout mirroring print_static_properties
+    (src/sketch_database.h:1160-1195) with this framework's types."""
+    sp = db.sketch_params
+    print(
+        "------------------------------------------------\n"
+        f"database version     {DB_FORMAT_VERSION}\n"
+        "------------------------------------------------\n"
+        "sequence type        2-bit packed uint8 codes\n"
+        "target id type       int32 32 bits\n"
+        f"target limit         {2**31 - 1}\n"
+        "------------------------------------------------\n"
+        "window id type       int32 32 bits\n"
+        f"window limit         {2**31 - 1}\n"
+        f"window length        {sp.window_size}\n"
+        f"window stride        {sp.window_stride}\n"
+        "------------------------------------------------\n"
+        "sketcher type        unique min-hasher (device kernel)\n"
+        "feature type         uint32 32 bits\n"
+        "feature hash         thomas_mueller\n"
+        f"kmer size            {sp.kmer_size}\n"
+        "kmer limit           16\n"
+        f"sketch size          {sp.sketch_size}\n"
+        "------------------------------------------------\n"
+        "bucket size type     CSR offsets int64\n"
+        f"max. locations       {db.max_locations_per_feature}\n"
+        f"location limit       {MAX_SUPPORTED_LOCS_PER_FEATURE}\n"
+        "------------------------------------------------")
+
+
+def print_content_properties(db: Database):
+    """(src/sketch_database.h:1206-1237)"""
+    if db.target_count > 0:
+        ranked = int(np.count_nonzero(
+            db.taxonomy.parent_taxid[db.target_taxon_node] != NONE_TAXID))
+        print(f"targets              {db.target_count}\n"
+              f"ranked targets       {ranked}\n"
+              f"taxa in tree         "
+              f"{len(db.taxonomy) - 1 - db.target_count}")
+    if db.features.num_keys > 0:
+        mx, mean, std, skew = bucket_size_moments(db.features.bucket_sizes())
+        print("------------------------------------------------\n"
+              f"buckets              {db.features.num_keys}\n"
+              f"bucket size          max: {mx} mean: {mean:g} "
+              f"+/- {std:g} <> {skew:g}\n"
+              f"features             {db.features.num_keys}\n"
+              "dead features        0\n"
+              f"locations            {db.features.num_locations}")
+    print("------------------------------------------------")

@@ -8,7 +8,7 @@ from typing import List
 from ..config import BuildParams, SketchParams
 from ..db import build as build_mod
 from ..db.taxonomy import Rank, rank_from_name
-from ..utils import ArgsParser, Timer
+from ..utils import ArgsParser, Timer, vm_rss_mb
 
 
 def get_build_options(args: ArgsParser) -> build_mod.BuildOptions:
@@ -30,6 +30,13 @@ def get_build_options(args: ArgsParser) -> build_mod.BuildOptions:
         max_taxa_per_feature=args.get(
             ["max-ambig-per-feature", "max_ambig_per_feature"], 1, int))
 
+    # (mode_build.cpp:102-106)
+    info_level = "moderate"
+    if args.contains("silent"):
+        info_level = "silent"
+    elif args.contains("verbose"):
+        info_level = "verbose"
+
     taxdir = args.get("taxonomy", "")
     opt = build_mod.BuildOptions(
         params=params,
@@ -37,7 +44,8 @@ def get_build_options(args: ArgsParser) -> build_mod.BuildOptions:
         taxonomy_names=os.path.join(taxdir, "names.dmp") if taxdir else "",
         taxonomy_merged=os.path.join(taxdir, "merged.dmp") if taxdir else "",
         taxpostmap=tuple(args.get_all("taxpostmap")),
-        reset_parents=args.contains(["reset-parents", "reset_parents"]))
+        reset_parents=args.contains(["reset-parents", "reset_parents"]),
+        info_level=info_level)
     return opt
 
 
@@ -67,13 +75,29 @@ def main_mode_build(args: ArgsParser, num_shards: int = 1,
                                                 num_shards > 1) \
             else [shard_id]
 
+    silent = opt.info_level == "silent"
+    verbose = opt.info_level == "verbose"
+    progress = None
+    if verbose:
+        seen_files = set()
+
+        def progress(path, tgt):
+            if path not in seen_files:
+                seen_files.add(path)
+                print(f"  processing {path}")
+
     timer = Timer()
     timer.start()
+    if not silent:
+        print("Processing reference sequences.")
     shard_dbs = []
     for s in my_shards:
         db = build_mod.build_database(infiles, opt, num_shards=num_shards,
-                                      shard_id=s)
+                                      shard_id=s, progress=progress)
         shard_dbs.append(db)
+    if not silent and shard_dbs:
+        print(f"Added {shard_dbs[0].target_count} reference sequences "
+              f"in {timer.seconds():.3f} s")
 
     if opt.params.remove_overpopulated_features:
         # global counts across shards (mode_build.cpp:847-1074); with
@@ -84,32 +108,43 @@ def main_mode_build(args: ArgsParser, num_shards: int = 1,
         if multiproc:
             from jax.experimental import multihost_utils
             import numpy as _np
-            kv = _np.array(sorted(counts.items()), dtype=_np.int64) \
-                if counts else _np.zeros((0, 2), _np.int64)
+            k, c = counts
+            kv = _np.stack([k.astype(_np.int64), c], axis=1) if len(k) \
+                else _np.zeros((0, 2), _np.int64)
             n = _np.array([kv.shape[0]], _np.int64)
             nmax = int(multihost_utils.process_allgather(n).max())
             pad = _np.full((nmax, 2), -1, _np.int64)
             pad[:kv.shape[0]] = kv
-            allkv = multihost_utils.process_allgather(pad)
-            counts = {}
-            for proc in range(allkv.shape[0]):
-                for key, c in allkv[proc]:
-                    if key >= 0:
-                        counts[int(key)] = counts.get(int(key), 0) + int(c)
+            allkv = multihost_utils.process_allgather(pad).reshape(-1, 2)
+            valid = allkv[:, 0] >= 0
+            counts = build_mod.merge_feature_count_arrays(
+                allkv[valid, 0].astype(_np.uint32), allkv[valid, 1])
         maxlocs = opt.params.max_locations_per_feature
         for db in shard_dbs:
             rem = db.remove_overpopulated_features(maxlocs,
                                                    global_counts=counts)
-            print(f"Removed {rem} overpopulated features in shard "
-                  f"{db.shard_id}.")
+            if not silent:
+                print(f"Removed {rem} overpopulated features in shard "
+                      f"{db.shard_id}.")
 
+    write_timer = Timer()
+    write_timer.start()
     for db in shard_dbs:
         path = db.save(dbfile)
-        print(f"Writing database to file '{path}' ... done.")
+        if not silent:
+            print(f"Writing database to file '{path}' ... done.")
+    write_timer.stop()
     timer.stop()
-    print(f"Total build time: {timer.seconds():.3f} s")
+    if not silent:
+        # per-phase timers + memory report (mode_build.cpp:829-840,
+        # :1076-1091; VmRSS print per querying.h:305-323)
+        print(f"Time for database write: {write_timer.seconds():.3f} s")
+        print(f"Total build time: {timer.seconds():.3f} s")
+        rss = vm_rss_mb()
+        if rss is not None:
+            print(f"Current memory usage (VmRSS): {rss:.1f} MB")
 
-    if shard_dbs:
+    if not silent and shard_dbs:
         props = shard_dbs[0].properties()
         print("------------------------------------------------")
         for k, v in props.items():

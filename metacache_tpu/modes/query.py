@@ -39,6 +39,9 @@ class EvaluationOptions:
 class QueryModeOptions:
     pairing: str = "none"               # none | files | sequences
     query_limit: int = -1
+    # echoed in the query-parameters block; the reference defaults to
+    # hardware concurrency (query_options.h:106)
+    num_threads: int = os.cpu_count() or 1
     classify: ClassifyParams = dataclasses.field(default_factory=ClassifyParams)
     evaluate: EvaluationOptions = dataclasses.field(
         default_factory=EvaluationOptions)
@@ -62,6 +65,9 @@ def get_query_options(args: ArgsParser, defaults: QueryModeOptions = None
         opt.pairing = "sequences"
 
     opt.query_limit = args.get(["query-limit", "query_limit"], -1, int)
+    threads = args.get("threads", 0, int)
+    if threads >= 1:
+        opt.num_threads = threads
 
     c = opt.classify
     lowest = args.get("lowest", "")
@@ -167,6 +173,17 @@ def get_query_options(args: ArgsParser, defaults: QueryModeOptions = None
             o.abundance_estimates_rank = r
     o.make_tax_counts = o.show_tax_abundances or \
         o.abundance_estimates_rank != Rank.NONE
+
+    # info-level flags (query_options.cpp:325-341, io_options.h:32)
+    verbose = args.contains("verbose")
+    o.show_db_properties = o.show_db_properties or verbose
+    o.show_query_params = (o.show_query_params or verbose) and \
+        not args.contains(["no-query-params", "noqueryparams",
+                           "no_query_params"])
+    o.show_summary = (o.show_summary or verbose) and \
+        not args.contains(["no-summary", "nosummary", "no_summary"])
+    o.show_errors = o.show_errors and \
+        not args.contains(["noerr", "noerrors"])
 
     o.query_mappings_file = args.get("out", o.query_mappings_file) or ""
     if not o.query_mappings_file:
@@ -288,16 +305,25 @@ class QueryProcessor:
     def process_files(self, infiles: List[str], out: TextIO):
         timer = Timer()
         timer.start()
+        # the parameters echo precedes the table header in result files
+        # (mode_query.cpp:119-121 before map_queries_to_targets)
+        if self.opt.output.show_query_params:
+            out_mod.show_query_parameters(out, self.opt)
         if self.opt.output.map_view_mode != out_mod.MapViewMode.NONE:
             out_mod.show_query_mapping_header(out, self.opt.output)
         pairing = self.opt.pairing
+        cmt = self.opt.output.format.comment
         if pairing == "files":
             infiles = sorted(infiles)
             pairs = list(zip(infiles[0::2], infiles[1::2]))
             for f1, f2 in pairs:
+                # input-file announcement (querying.h:1337 via the
+                # appendToOutput callback, classification.cpp:736-738)
+                out.write(f"{cmt}{f1} + {f2}\n")
                 self._process_one(f1, f2, out)
         else:
             for f in infiles:
+                out.write(f"{cmt}{f}\n")
                 self._process_one(f, None, out)
         timer.stop()
         self.time_ms = timer.milliseconds()
@@ -438,6 +464,8 @@ class QueryProcessor:
                     int(res.best_rank[i]),
                     int(db.taxonomy.rank[gt]) if gt else Rank.NONE,
                     lowest_correct)
+                if ev.taxon_coverage and gt:
+                    self._update_coverage(gt, best, int(res.best_rank[i]))
             else:
                 self.stats.assign(int(res.best_rank[i]))
             if opt.output.make_tax_counts and best:
@@ -458,6 +486,32 @@ class QueryProcessor:
                 c_beg[i] if need_cand else _none,
                 c_end[i] if need_cand else _none,
                 alignment_suffix=suffix)
+
+    def _update_coverage(self, gt: int, best: int, best_rank: int):
+        """-taxon-coverage confusion counting per ground-truth lineage rank
+        (update_coverage_statistics, src/classification.cpp:294-327):
+        for each ranked ancestor of the ground truth, classified on that
+        rank + covered in DB => TP, classified + not covered => FP,
+        unclassified + covered => FN, unclassified + not covered => TN."""
+        t = self.db.taxonomy
+        lin = t.ranked_lineage[gt]
+        covered = t.covered_mask
+        for r in range(Rank.NUM_RANKS):
+            node = int(lin[r])
+            if node == 0:
+                continue
+            rr = int(t.rank[node])
+            unclassified_on_rank = best == 0 or rr < best_rank
+            if covered[node]:
+                if unclassified_on_rank:
+                    self.stats.count_coverage_false_neg(rr)
+                else:
+                    self.stats.count_coverage_true_pos(rr)
+            else:
+                if unclassified_on_rank:
+                    self.stats.count_coverage_true_neg(rr)
+                else:
+                    self.stats.count_coverage_false_pos(rr)
 
     def _fast_path_ok(self, gts) -> bool:
         """True when per-read work is (stats, tax counts, default mapping
@@ -558,6 +612,13 @@ class QueryProcessor:
         if o.show_summary:
             out_mod.show_summary(out, o, self.stats, self.time_ms,
                                  self.opt.pairing != "none")
+        if self.total_overflow:
+            # the one documented fixed-shape divergence (ops/lookup.py):
+            # surface it loudly, but on stderr so result files keep full
+            # byte-parity with the reference
+            print(f"WARNING: match-list overflow on {self.total_overflow} "
+                  f"queries — hit counts may be underreported; rerun with a "
+                  f"larger -max-locations-per-query", file=sys.stderr)
 
 
 def main_mode_query(args: ArgsParser) -> int:
@@ -610,6 +671,13 @@ def main_mode_query(args: ArgsParser) -> int:
     if engine is None:
         db = load_all_shards(dbname)
         _adapt_options_to_database(opt, db)
+
+    if opt.output.show_db_properties:
+        # (mode_query.cpp:428-431)
+        from ..db.database import print_content_properties, \
+            print_static_properties
+        print_static_properties(db)
+        print_content_properties(db)
 
     if opt.output.split_files and opt.output.query_mappings_file:
         # one output (and stats) per input file / file pair

@@ -12,8 +12,12 @@ from typing import Dict, List, Optional, TextIO
 import numpy as np
 
 from ..db.database import Database
-from ..db.taxonomy import NONE_TAXID, Rank, rank_name
+from ..db.taxonomy import NONE_TAXID, Rank, rank_from_name, rank_name
 from .stats import ClassificationStatistics
+
+
+def _rankcode(r) -> int:
+    return r if isinstance(r, int) else rank_from_name(r)
 
 
 def fmt_g(x: float) -> str:
@@ -212,6 +216,75 @@ def show_candidate_ranges_str(db: Database, cand_beg, cand_end,
             break
         out.append(f"[{w * int(b)},{w * int(e) + ws}] ")
     return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# query parameters echo block (printing.cpp:40-115)
+# ---------------------------------------------------------------------------
+def show_query_parameters(out: TextIO, opt) -> None:
+    """Byte-compatible rendering of show_query_parameters
+    (src/printing.cpp:40-115). `opt` is a QueryModeOptions-shaped object
+    (.output, .classify, .evaluate, .pairing, .num_threads).
+
+    The reference's quirks are reproduced verbatim: the clade-exclusion
+    line has NO trailing newline (printing.cpp:76-78) and the
+    per-taxon-abundance note is gated on showHitsPerTargetList twice
+    (printing.cpp:96-104), so both notes print together.
+    """
+    o = opt.output
+    cmt = o.format.comment
+    w = out.write
+    if o.map_view_mode != MapViewMode.NONE:
+        w(f"{cmt}Reporting per-read mappings (non-mapping lines "
+          f"start with '{cmt}').\n")
+        if o.show_lineage:
+            w(f"{cmt}The complete lineage will be reported "
+              f"starting with the lowest match.\n")
+        else:
+            w(f"{cmt}Only the lowest matching rank will be reported.\n")
+    else:
+        w(f"{cmt}Per-Read mappings will not be shown.\n")
+
+    w(f"{cmt}Classification will be constrained to ranks from "
+      f"'{rank_name(_rankcode(opt.classify.lowest_rank))}' to "
+      f"'{rank_name(_rankcode(opt.classify.highest_rank))}'.\n")
+    w(f"{cmt}Classification hit threshold is "
+      f"{opt.classify.hits_min} per query\n")
+    w(f"{cmt}At maximum {opt.classify.max_candidates} "
+      f"classification candidates will be considered per query.\n")
+
+    if opt.evaluate.exclude_rank != Rank.NONE:
+        w(f"{cmt}Clade Exclusion on Rank: "
+          f"{rank_name(opt.evaluate.exclude_rank)}")
+
+    if opt.pairing == "files":
+        w(f"{cmt}File based paired-end mode:\n")
+        w(f"{cmt}  Reads from two consecutive files will be interleaved.\n")
+        w(f"{cmt}  Max insert size considered "
+          f"{opt.classify.insert_size_max}.\n")
+    elif opt.pairing == "sequences":
+        w(f"{cmt}Per file paired-end mode:\n")
+        w(f"{cmt}  Reads from two consecutive sequences in each file "
+          f"will be paired up.\n")
+        w(f"{cmt}  Max insert size considered "
+          f"{opt.classify.insert_size_max}.\n")
+
+    if o.show_alignment:
+        w(f"{cmt}Query sequences will be aligned to best candidate "
+          f"target => SLOW!\n")
+
+    if o.show_hits_per_target_list:
+        w(f"{cmt}A list of hits per reference sequence "
+          f"will be generated after the read mapping.\n")
+        w(f"{cmt}A list of absolute and relative abundances per taxon "
+          f"will be generated after the read mapping.\n")
+
+    if o.abundance_estimates_rank != Rank.NONE:
+        w(f"{cmt}A list of absolute and relative abundances for each '"
+          f"{rank_name(o.abundance_estimates_rank)}"
+          f"' will be generated after the read mapping.\n")
+
+    w(f"{cmt}Using {opt.num_threads} threads\n")
 
 
 # ---------------------------------------------------------------------------

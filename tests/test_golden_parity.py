@@ -179,3 +179,67 @@ class TestGoldenParity:
         assert res.returncode == 0, res.stderr
         assert _mapping_lines(f"{tmp}/ref_top.txt") == \
             _mapping_lines(f"{tmp}/my_top.txt")
+
+    def test_full_file_parity(self, golden):
+        """FULL output-file parity including all comment lines (the
+        query-parameters echo block, printing.cpp:40-115; the input-file
+        announcement, classification.cpp:736-738): every line must be
+        byte-identical except the run-dependent time/speed lines.
+
+        The input-file announcement echoes the paths as given on the
+        command line, so both runs use identical absolute paths."""
+        tmp = golden["tmp"]
+        if not os.path.exists(f"{tmp}/mydb_0.npz"):
+            _run_cli(["build", f"{tmp}/mydb", golden["fasta"],
+                      "-taxonomy", golden["tax"]])
+        res = _run_cli(["query", f"{tmp}/mydb",
+                        f"{tmp}/reads_1.fa", f"{tmp}/reads_2.fa",
+                        "-pairfiles", "-lowest", "species",
+                        "-query-limit", "25000",
+                        "-out", f"{tmp}/my_full.txt"])
+        assert res.returncode == 0, res.stderr
+
+        def lines(path):
+            with open(path) as f:
+                return [l for l in f
+                        if not l.startswith(("# time:", "# speed:"))]
+
+        assert lines(f"{tmp}/ref_out.txt") == lines(f"{tmp}/my_full.txt")
+
+    def test_reference_merge_accepts_our_results(self, golden):
+        """The reference's merge mode parses our result files (it requires
+        the '# Classification will be constrained...' echo and a
+        TABLE_LAYOUT with query_id + top_hits columns,
+        mode_merge.cpp:131-200) and reproduces the classifications."""
+        tmp = golden["tmp"]
+        if not os.path.exists(f"{tmp}/mydb_0.npz"):
+            _run_cli(["build", f"{tmp}/mydb", golden["fasta"],
+                      "-taxonomy", golden["tax"]])
+        res = _run_cli(["query", f"{tmp}/mydb",
+                        f"{tmp}/reads_1.fa", f"{tmp}/reads_2.fa",
+                        "-pairfiles", "-tophits", "-queryids",
+                        "-lowest", "species",
+                        "-out", f"{tmp}/mergein1.txt"])
+        assert res.returncode == 0, res.stderr
+        shutil.copy(f"{tmp}/mergein1.txt", f"{tmp}/mergein2.txt")
+        res = run([STUB_BIN, "merge", f"{tmp}/mergein1.txt",
+                   f"{tmp}/mergein2.txt", "-taxonomy", golden["tax"],
+                   "-out", f"{tmp}/refmerged.txt"],
+                  env=dict(os.environ, MC_STUB_RANK="0", MC_STUB_SIZE="1"))
+        assert os.path.exists(f"{tmp}/refmerged.txt"), res.stderr
+
+        def classifications(path):
+            out = {}
+            for line in _mapping_lines(path):
+                parts = [p.strip() for p in line.split("|")]
+                # our lines: query_id | header | top_hits | taxon;
+                # merged lines: header | taxon
+                out[parts[1] if len(parts) > 2 else parts[0]] = parts[-1]
+            return out
+
+        ours = classifications(f"{tmp}/mergein1.txt")
+        merged = classifications(f"{tmp}/refmerged.txt")
+        assert len(merged) > 0
+        # every read the merge kept must agree with our classification
+        agree = sum(1 for k, v in merged.items() if ours.get(k) == v)
+        assert agree == len(merged)
