@@ -33,7 +33,7 @@ from ..config import BuildParams, SketchParams, FEATURE_SENTINEL
 from ..io import sequence_io, taxonomy_io
 from ..ops import encode, sketch
 from .database import Database
-from .feature_table import FeatureTable
+from .feature_table import ChunkedTripleSorter, FeatureTable
 from .taxonomy import NONE_TAXID, Rank, Taxonomy
 
 #: windows per device batch during build (large batches amortize the
@@ -165,6 +165,9 @@ class BuildOptions:
     reset_parents: bool = False
     # silent | moderate | verbose (io_options.h:32, mode_build.cpp:102-106)
     info_level: str = "moderate"
+    # triples per in-RAM chunk of the external sort (ChunkedTripleSorter);
+    # bounds build memory: RefSeq-scale builds spill sorted chunks to disk
+    chunk_triples: int = 32 << 20
 
 
 def gather_input_files(infiles: Sequence[str], max_depth: int = 10) -> List[str]:
@@ -220,7 +223,7 @@ def build_database(infiles: Sequence[str], opt: BuildOptions,
     seq2taxid = taxonomy_io.make_sequence_to_taxon_id_map(
         opt.sequence_id_mappings, files)
 
-    triples = TripleAccumulator()
+    triples = ChunkedTripleSorter(chunk_triples=opt.chunk_triples)
     batcher = WindowBatcher(p, triples)
 
     target_nodes: List[int] = []
@@ -263,9 +266,7 @@ def build_database(infiles: Sequence[str], opt: BuildOptions,
                               reset_parents=opt.reset_parents,
                               info_level=opt.info_level)
 
-    f, t, w = triples.concat()
-    ft = FeatureTable.from_triples(
-        f, t, w, opt.params.max_locations_per_feature)
+    ft = triples.finalize(opt.params.max_locations_per_feature)
 
     db = Database(
         sketch_params=p, query_sketch_params=p,
@@ -294,7 +295,7 @@ def build_database_from_records(records, params: BuildParams = None,
     taxonomy = taxonomy or Taxonomy()
     if not taxonomy.node_of_id(1):
         taxonomy.add_node(1, 1, "root", Rank.ROOT)
-    triples = TripleAccumulator()
+    triples = ChunkedTripleSorter()
     batcher = WindowBatcher(p, triples)
     target_nodes: List[int] = []
     for header, seq in records:
@@ -311,8 +312,7 @@ def build_database_from_records(records, params: BuildParams = None,
                                  Rank.SEQUENCE, source_windows=windows)
         target_nodes.append(node)
     batcher.finish()
-    f, t, w = triples.concat()
-    ft = FeatureTable.from_triples(f, t, w, params.max_locations_per_feature)
+    ft = triples.finalize(params.max_locations_per_feature)
     return Database(
         sketch_params=p, query_sketch_params=p,
         max_locations_per_feature=params.max_locations_per_feature,

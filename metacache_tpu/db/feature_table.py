@@ -239,3 +239,115 @@ def _run_local_indices(run_starts: np.ndarray, capped: np.ndarray) -> np.ndarray
     np.cumsum(capped[:-1], out=cum[1:])
     local = np.arange(total, dtype=np.int64) - cum[out_run]
     return run_starts[out_run] + local
+
+
+class ChunkedTripleSorter:
+    """Memory-bounded external sort of (feature, target, window) triples —
+    the streaming replacement for concatenating ALL triples in host RAM
+    before one argsort (the reference streams hash-map insertions instead,
+    src/sketch_database.h:1079-1097; SURVEY.md §7 calls for chunked
+    sort-merge at RefSeq scale).
+
+    Protocol: `add()` triples in ascending (target, window) order (the
+    natural sketching order). Full chunks are feature-sorted (stable, so
+    insertion order survives) and spilled to disk. `finalize()` merges by
+    KEY-RANGE passes: the u32 feature space is partitioned so each range's
+    triples fit in RAM; per range, the matching slice of every chunk (one
+    searchsorted per chunk) is concatenated in chunk order and stable-sorted
+    by feature — yielding exactly the insertion order the per-feature cap
+    semantics require. Peak memory = one range + one chunk buffer.
+    """
+
+    def __init__(self, chunk_triples: int = 32 << 20, tmpdir: str = None):
+        self.chunk_triples = int(chunk_triples)
+        self._tmp: Optional[str] = None  # created lazily on first spill
+        self._tmpdir_given = tmpdir
+        self._buf_f: List[np.ndarray] = []
+        self._buf_t: List[np.ndarray] = []
+        self._buf_w: List[np.ndarray] = []
+        self._buf_n = 0
+        self._chunks: List[Tuple[str, int]] = []  # (path prefix, count)
+        self.total = 0
+
+    def add(self, f: np.ndarray, t: np.ndarray, w: np.ndarray):
+        self._buf_f.append(np.ascontiguousarray(f, dtype=np.uint32))
+        self._buf_t.append(np.ascontiguousarray(t, dtype=np.int32))
+        self._buf_w.append(np.ascontiguousarray(w, dtype=np.int32))
+        self._buf_n += len(f)
+        self.total += len(f)
+        if self._buf_n >= self.chunk_triples:
+            self._spill()
+
+    def _concat_buf(self):
+        f = np.concatenate(self._buf_f) if self._buf_f else \
+            np.zeros(0, np.uint32)
+        t = np.concatenate(self._buf_t) if self._buf_t else \
+            np.zeros(0, np.int32)
+        w = np.concatenate(self._buf_w) if self._buf_w else \
+            np.zeros(0, np.int32)
+        self._buf_f, self._buf_t, self._buf_w, self._buf_n = [], [], [], 0
+        return f, t, w
+
+    def _spill(self):
+        import os
+        import tempfile
+        f, t, w = self._concat_buf()
+        if len(f) == 0:
+            return
+        if self._tmp is None:
+            self._tmp = tempfile.mkdtemp(prefix="mc_triples_",
+                                         dir=self._tmpdir_given)
+        order = np.argsort(f, kind="stable")
+        f, t, w = f[order], t[order], w[order]
+        path = os.path.join(self._tmp, f"chunk{len(self._chunks)}")
+        np.save(path + ".f.npy", f)
+        np.save(path + ".t.npy", t)
+        np.save(path + ".w.npy", w)
+        self._chunks.append((path, len(f)))
+
+    def finalize(self, max_locs_per_feature: int,
+                 range_budget: int = 64 << 20) -> "FeatureTable":
+        import os
+        import shutil
+        if not self._chunks:
+            # everything fit in one buffer: no disk round-trip
+            f, t, w = self._concat_buf()
+            return FeatureTable.from_triples(f, t, w, max_locs_per_feature)
+        self._spill()
+        mm = [(np.load(p + ".f.npy", mmap_mode="r"),
+               np.load(p + ".t.npy", mmap_mode="r"),
+               np.load(p + ".w.npy", mmap_mode="r")) for p, _ in self._chunks]
+        n_ranges = max(1, -(-self.total // int(range_budget)))
+        bounds = np.linspace(0, 2**32, n_ranges + 1).astype(np.uint64)
+        parts: List[FeatureTable] = []
+        for r in range(n_ranges):
+            lo, hi = np.uint32(bounds[r]), bounds[r + 1]
+            fs, ts, ws = [], [], []
+            for cf, ct, cw in mm:
+                a = np.searchsorted(cf, lo, side="left")
+                b = len(cf) if hi >= 2**32 else \
+                    np.searchsorted(cf, np.uint32(hi), side="left")
+                if b > a:
+                    fs.append(np.asarray(cf[a:b]))
+                    ts.append(np.asarray(ct[a:b]))
+                    ws.append(np.asarray(cw[a:b]))
+            if not fs:
+                continue
+            parts.append(FeatureTable.from_triples(
+                np.concatenate(fs), np.concatenate(ts), np.concatenate(ws),
+                max_locs_per_feature))
+        shutil.rmtree(self._tmp, ignore_errors=True)
+        if not parts:
+            return FeatureTable.empty()
+        # ranges partition the key space: plain concatenation is the merge
+        keys = np.concatenate([p.keys for p in parts])
+        offs = [parts[0].offsets]
+        base = parts[0].offsets[-1]
+        for p in parts[1:]:
+            offs.append(p.offsets[1:] + base)
+            base += p.offsets[-1]
+        return FeatureTable(
+            keys=keys,
+            offsets=np.concatenate(offs),
+            loc_tgt=np.concatenate([p.loc_tgt for p in parts]),
+            loc_win=np.concatenate([p.loc_win for p in parts]))

@@ -32,7 +32,7 @@ def main_mode_modify(args: ArgsParser) -> int:
     seq2taxid = taxonomy_io.make_sequence_to_taxon_id_map(
         opt.sequence_id_mappings, files)
 
-    triples = build_mod.TripleAccumulator()
+    triples = build_mod.ChunkedTripleSorter()
     batcher = build_mod.WindowBatcher(p, triples)
     existing = {db.taxonomy.names[n] for n in db.target_taxon_node}
     target_nodes = list(db.target_taxon_node)
@@ -61,9 +61,7 @@ def main_mode_modify(args: ArgsParser) -> int:
             print(f"FAIL: {path}: {e}", file=sys.stderr)
     batcher.finish()
 
-    f, t, w = triples.concat()
-    new_ft = FeatureTable.from_triples(f, t, w,
-                                       db.max_locations_per_feature)
+    new_ft = triples.finalize(db.max_locations_per_feature)
     db.features = db.features.merge_with(new_ft,
                                          db.max_locations_per_feature)
     db.target_taxon_node = np.array(target_nodes, dtype=np.int32)

@@ -115,3 +115,63 @@ def test_device_arrays_padding():
     assert (offsets[ft.num_keys:] == ft.offsets[-1]).all()
     # padded rows have zero length
     assert (np.diff(offsets)[ft.num_keys:] == 0).all()
+
+
+class TestChunkedTripleSorter:
+    def _triples(self, n, seed=0, tmax=50, wmax=40):
+        """Random triples in ascending (target, window) order."""
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        t = np.sort(rng.integers(0, tmax, n).astype(np.int32))
+        # windows ascending within each target
+        w = np.zeros(n, np.int32)
+        for tv in np.unique(t):
+            m = t == tv
+            w[m] = np.sort(rng.integers(0, wmax, int(m.sum())))
+        f = rng.integers(0, 5000, n).astype(np.uint32)
+        return f, t, w
+
+    def test_spill_equivalent_to_in_memory(self, tmp_path):
+        import numpy as np
+        from metacache_tpu.db.feature_table import (ChunkedTripleSorter,
+                                                    FeatureTable)
+        f, t, w = self._triples(100_000, seed=3)
+        want = FeatureTable.from_triples(f, t, w, 254)
+        s = ChunkedTripleSorter(chunk_triples=7_000, tmpdir=str(tmp_path))
+        for i in range(0, len(f), 1_000):  # feed in slices, forcing spills
+            s.add(f[i:i+1000], t[i:i+1000], w[i:i+1000])
+        got = s.finalize(254, range_budget=9_000)
+        np.testing.assert_array_equal(want.keys, got.keys)
+        np.testing.assert_array_equal(want.offsets, got.offsets)
+        np.testing.assert_array_equal(want.loc_tgt, got.loc_tgt)
+        np.testing.assert_array_equal(want.loc_win, got.loc_win)
+
+    def test_cap_keeps_first_in_insertion_order(self, tmp_path):
+        import numpy as np
+        from metacache_tpu.db.feature_table import (ChunkedTripleSorter,
+                                                    FeatureTable)
+        # one hot feature appearing in many targets; cap must keep the
+        # lowest (target, window) entries (= first inserted)
+        n = 1000
+        f = np.full(n, 42, np.uint32)
+        t = np.arange(n, dtype=np.int32)
+        w = np.zeros(n, np.int32)
+        s = ChunkedTripleSorter(chunk_triples=100, tmpdir=str(tmp_path))
+        for i in range(0, n, 50):
+            s.add(f[i:i+50], t[i:i+50], w[i:i+50])
+        got = s.finalize(254, range_budget=200)
+        assert got.num_keys == 1
+        np.testing.assert_array_equal(got.loc_tgt,
+                                      np.arange(254, dtype=np.int32))
+
+    def test_no_spill_path(self):
+        import numpy as np
+        from metacache_tpu.db.feature_table import (ChunkedTripleSorter,
+                                                    FeatureTable)
+        f, t, w = self._triples(5_000, seed=9)
+        want = FeatureTable.from_triples(f, t, w, 254)
+        s = ChunkedTripleSorter()  # default chunk size: never spills here
+        s.add(f, t, w)
+        got = s.finalize(254)
+        np.testing.assert_array_equal(want.keys, got.keys)
+        np.testing.assert_array_equal(want.loc_tgt, got.loc_tgt)
