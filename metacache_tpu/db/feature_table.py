@@ -180,7 +180,8 @@ class FeatureTable:
                             loc_tgt=self.loc_tgt[loc_keep],
                             loc_win=self.loc_win[loc_keep])
 
-    def packed_locations(self, pad_locs_to: Optional[int] = None):
+    def packed_locations(self, pad_locs_to: Optional[int] = None,
+                         win_bits: Optional[int] = None):
         """Locations packed into one int32 word (tgt << win_bits | win) when
         the id widths allow it (tgt_bits + win_bits <= 31), else None.
 
@@ -190,13 +191,19 @@ class FeatureTable:
         packed `location{target, window}` struct (src/sketch_database.h:
         157-189) — there for storage, here for HBM bandwidth.
 
+        win_bits may be forced (sharded engine: all shards must agree on
+        one packing so the merged device program has a single static shift).
+
         Returns (packed [L] int32, win_bits int) or (None, 0).
         """
         if self.num_locations == 0:
             return None, 0
         tmax = int(self.loc_tgt.max())
         wmax = int(self.loc_win.max())
-        win_bits = max(1, wmax.bit_length())
+        if win_bits is None:
+            win_bits = max(1, wmax.bit_length())
+        elif win_bits < max(1, wmax.bit_length()):
+            return None, 0
         if max(1, tmax.bit_length()) + win_bits > 31:
             return None, 0
         L = pad_locs_to if pad_locs_to is not None else self.num_locations

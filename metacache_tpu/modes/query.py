@@ -657,8 +657,9 @@ def main_mode_query(args: ArgsParser) -> int:
             shards = [Database.load(dbname, s) for s in want]
             db = shards[0]
             _adapt_options_to_database(opt, db)
+            twk = 16 if opt.output.show_hits_per_target_list else 0
             engine = ShardedQueryEngine(shards, opt.classify, opt.pipeline,
-                                        mesh)
+                                        mesh, target_window_k=twk)
             if jax.process_count() > 1 and jax.process_index() != 0:
                 # only process 0 writes results (rank 0 in the reference,
                 # querying.h:1088-1136)

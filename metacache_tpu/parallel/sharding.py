@@ -16,6 +16,15 @@ The TPU-native replacement for the reference's MPI query distribution
 
 The merge is associative/commutative (max hits per taxon), so results are
 shard-count invariant (each target's matches live wholly on one shard).
+
+Every per-read feature of the single-chip engine is available here with
+identical semantics (the local pipeline is literally the same function,
+query.engine.local_candidates): clade exclusion, the packed-location
+single-key fast path, the Pallas sketch opt-in, and per-candidate window
+hit counts (-hits-per-seq) — the latter computed against each shard's
+local match list and psum'd (a target's matches live wholly on one shard,
+so per-shard counts sum to the reference's global counts,
+src/matches_per_target.h:111-155).
 """
 from __future__ import annotations
 
@@ -31,8 +40,10 @@ from ..config import ClassifyParams, QueryPipelineParams
 from ..db.database import Database
 from ..db.taxonomy import Rank
 from ..ops import candidates as cand_ops
-from ..ops import classify_op, lookup, sketch
-from ..query.engine import BatchResult, _rank_code, _window_starts_static
+from ..ops import classify_op, lookup
+from ..query.engine import (BatchResult, _rank_code, _window_starts_static,
+                            local_candidates, make_target_groups,
+                            target_window_hits)
 
 
 def make_mesh(devices=None, axis: str = "shard") -> Mesh:
@@ -42,15 +53,18 @@ def make_mesh(devices=None, axis: str = "shard") -> Mesh:
 
 
 def stack_shard_tables(dbs: List[Database], pad_keys_to=None,
-                       pad_locs_to=None):
+                       pad_locs_to=None, win_bits: int = 0):
     """Pad shard feature tables to common sizes and stack to [P_local, ...].
 
     Multi-host: every process must pad to the same (global) sizes; pass the
-    globally agreed pad_keys_to/pad_locs_to (see ShardedQueryEngine).
+    globally agreed pad_keys_to/pad_locs_to/win_bits (ShardedQueryEngine).
+
+    Returns (keys, offsets, tgts, wins, packed) — packed is None unless
+    every shard packs with the common win_bits.
     """
     fmax = pad_keys_to or max(d.features.num_keys for d in dbs)
     lmax = pad_locs_to or max(d.features.num_locations for d in dbs)
-    keys, offsets, tgts, wins = [], [], [], []
+    keys, offsets, tgts, wins, packs = [], [], [], [], []
     for d in dbs:
         k, o, t, w = d.features.device_arrays(pad_keys_to=fmax,
                                               pad_locs_to=lmax)
@@ -58,19 +72,25 @@ def stack_shard_tables(dbs: List[Database], pad_keys_to=None,
         offsets.append(o.astype(np.int32))
         tgts.append(t)
         wins.append(w)
+        if win_bits and packs is not None:
+            p, wb = d.features.packed_locations(pad_locs_to=lmax,
+                                                win_bits=win_bits)
+            packs = None if p is None else packs + [p]
+    packed = np.stack(packs) if win_bits and packs else None
     return (np.stack(keys), np.stack(offsets), np.stack(tgts),
-            np.stack(wins))
+            np.stack(wins), packed)
 
 
 class ShardedQueryEngine:
     """Query engine over a device mesh: one database shard per device.
 
-    API-compatible with query.engine.QueryEngine (classify_batch).
+    API-compatible with query.engine.QueryEngine (classify_batch,
+    dispatch_packed/materialize, set_exclusion, target_window_k).
     """
 
     def __init__(self, dbs: List[Database], classify: ClassifyParams,
                  pipeline: QueryPipelineParams = QueryPipelineParams(),
-                 mesh: Optional[Mesh] = None):
+                 mesh: Optional[Mesh] = None, target_window_k: int = 0):
         """dbs: this process's shards, in mesh-device order. Single-process:
         all shards. Multi-process (jax.distributed initialized): only the
         shards owned by this host's devices — shard s belongs to global
@@ -90,6 +110,7 @@ class ShardedQueryEngine:
         self.db = dbs[0]          # taxonomy/targets replicated across shards
         self.classify = classify
         self.pipeline = pipeline
+        self.target_window_k = target_window_k
         p = self.db.query_sketch_params
         self.sketch_params = p
         self.hits_min = classify.resolved_hits_min(p.sketch_size)
@@ -98,18 +119,36 @@ class ShardedQueryEngine:
         self.starts = tuple(_window_starts_static(
             pipeline.max_query_len, p.window_size, p.window_stride))
 
+        import os
+        self._use_pallas = (jax.default_backend() == "tpu"
+                            and pipeline.batch_size % 256 == 0
+                            and bool(os.environ.get(
+                                "METACACHE_PALLAS_SKETCH")))
+
         pad_f = max(d.features.num_keys for d in dbs)
         pad_l = max(d.features.num_locations for d in dbs)
+        # common packed-location encoding: win_bits must fit every shard's
+        # max window AND leave room for the global max target id
+        wb = max((int(d.features.loc_win.max()) if d.features.num_locations
+                  else 0) for d in dbs)
+        tb = max((int(d.features.loc_tgt.max()) if d.features.num_locations
+                  else 0) for d in dbs)
+        win_bits = max(1, wb.bit_length())
+        packable = max(1, tb.bit_length()) + win_bits <= 31
         if multiproc:
             # all shards must pad to the same (global) table sizes, and the
-            # unrolled-search step count is a static compile parameter —
-            # agree across hosts
+            # unrolled-search step count / win_bits are static compile
+            # parameters — agree across hosts
             from jax.experimental import multihost_utils
             g = multihost_utils.process_allgather(
-                np.array([pad_f, pad_l], np.int64))
+                np.array([pad_f, pad_l, win_bits, int(packable)], np.int64))
             pad_f, pad_l = int(g[:, 0].max()), int(g[:, 1].max())
-        keys, offsets, tgts, wins = stack_shard_tables(
-            dbs, pad_keys_to=pad_f, pad_locs_to=pad_l)
+            win_bits = int(g[:, 2].max())
+            packable = bool(g[:, 3].min())
+        keys, offsets, tgts, wins, packed = stack_shard_tables(
+            dbs, pad_keys_to=pad_f, pad_locs_to=pad_l,
+            win_bits=win_bits if packable else 0)
+        self._win_bits = win_bits if packed is not None else 0
         buckets = []
         radix_steps = 1
         for i in range(keys.shape[0]):
@@ -127,15 +166,31 @@ class ShardedQueryEngine:
         self._offsets = dist.put_sharded(offsets, mesh)
         self._loc_tgt = dist.put_sharded(tgts, mesh)
         self._loc_win = dist.put_sharded(wins, mesh)
+        self._loc_packed = None if packed is None \
+            else dist.put_sharded(packed, mesh)
         self._tct = dist.put_replicated(
             np.asarray(self.db.target_cand_tax(self.lowest_rank)), mesh)
         self._lineage = dist.put_replicated(
             self.db.taxonomy.ranked_lineage.astype(np.int32), mesh)
         self._dist = dist
-        self._compiled = None
+        self._target_groups = None
+        self._compiled = {}
 
     # ------------------------------------------------------------------
-    def _build_fn(self):
+    def set_exclusion(self, rank_code: int):
+        """Enable clade exclusion on the given rank: per-read exclusion
+        groups must then be passed to classify_batch (remove_hits_on_rank,
+        src/classification.cpp:141-157)."""
+        groups = make_target_groups(self.db, rank_code)
+        self._target_groups = self._dist.put_replicated(groups, self.mesh)
+        self.exclude_rank = rank_code
+
+    def exclusion_group_of(self, node: int) -> int:
+        if node == 0:
+            return 0
+        return int(self.db.taxonomy.ranked_lineage[node, self.exclude_rank])
+
+    def _build_fn(self, with_exclusion: bool):
         p = self.sketch_params
         starts = self.starts
         lmax = self.pipeline.max_locations_per_query
@@ -144,38 +199,27 @@ class ShardedQueryEngine:
         insert_max = self.classify.insert_size_max
         k, S, W, stride = (p.kmer_size, p.sketch_size, p.window_size,
                            p.window_stride)
-
         search_steps = self._search_steps
+        use_pallas = self._use_pallas
+        win_bits = self._win_bits
+        twk = self.target_window_k
+        has_packed = self._loc_packed is not None
 
         def shard_fn(packed1, ambig1, lens1, packed2, ambig2, lens2,
-                     keys, offsets, loc_tgt,
-                     loc_win, buckets, tct, lineage, hits_min, hits_diff):
-            from ..ops import encode
-            codes1 = encode.unpack_codes(packed1, ambig1)
-            codes2 = encode.unpack_codes(packed2, ambig2)
+                     keys, offsets, loc_tgt, loc_win, loc_packed, buckets,
+                     tct, lineage, hits_min, hits_diff,
+                     exclude_groups, target_groups):
             # local shard block: leading axis of size 1
-            keys, offsets = keys[0], offsets[0]
-            loc_tgt, loc_win = loc_tgt[0], loc_win[0]
-            buckets = buckets[0]
-            B = codes1.shape[0]
-            feats = []
-            for codes, lens in ((codes1, lens1), (codes2, lens2)):
-                for s in starts:
-                    wcodes = codes[:, s:s + W]
-                    if wcodes.shape[1] < W:
-                        pad = jnp.full((B, W - wcodes.shape[1]), 255,
-                                       dtype=jnp.uint8)
-                        wcodes = jnp.concatenate([wcodes, pad], axis=1)
-                    wlen = jnp.clip(lens - s, 0, W)
-                    feats.append(sketch.sketch_windows(wcodes, wlen, k, S))
-            features = jnp.concatenate(feats, axis=1)
-
-            tgt, win, total, overflow = lookup.lookup_matches(
-                features, keys, offsets, loc_tgt, loc_win, lmax,
-                bucket_offsets=buckets, search_steps=search_steps)
-            pair_len = jnp.maximum(lens1 + lens2, insert_max)
-            num_windows = (2 + pair_len // stride).astype(jnp.int32)
-            cand = cand_ops.generate_candidates(tgt, win, num_windows, tct, C)
+            cand, tgt, win, total, overflow = local_candidates(
+                packed1, ambig1, lens1, packed2, ambig2, lens2,
+                keys[0], offsets[0], loc_tgt[0], loc_win[0], tct,
+                exclude_groups, target_groups, buckets[0],
+                loc_packed[0] if has_packed else None,
+                k=k, sketch_size=S, window_size=W, window_stride=stride,
+                starts=starts, lmax=lmax, max_candidates=C,
+                insert_size_max=insert_max, search_steps=search_steps,
+                use_pallas_sketch=use_pallas, win_bits=win_bits)
+            B = tgt.shape[0]
 
             # ---- cross-shard candidate merge over ICI ----
             # all_gather fixed-shape candidate tensors, then deterministic
@@ -192,16 +236,22 @@ class ShardedQueryEngine:
                 merged["tax"], merged["hits"], lineage, hits_min, hits_diff,
                 highest)
             ovf = jax.lax.psum(overflow, "shard")
-            return merged, best, best_rank, ovf
+            twh = None
+            if twk:
+                # per-shard counts vs the local match list; psum = global
+                # counts (each target's matches live wholly on one shard)
+                twh = jax.lax.psum(
+                    target_window_hits(merged, tgt, win, twk), "shard")
+            return merged, best, best_rank, ovf, twh
 
         mesh = self.mesh
         fn = jax.shard_map(
             shard_fn, mesh=mesh,
             in_specs=(P(), P(), P(), P(), P(), P(),   # reads replicated
                       P("shard"), P("shard"), P("shard"), P("shard"),
-                      P("shard"),
-                      P(), P(), P(), P()),
-            out_specs=(P(), P(), P(), P()),
+                      P("shard"), P("shard"),
+                      P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P()),
             check_vma=False)
         return jax.jit(fn)
 
@@ -226,11 +276,12 @@ class ShardedQueryEngine:
 
     def dispatch_packed(self, p1, a1, lens1, p2, a2, lens2,
                         exclude_groups=None):
-        if exclude_groups is not None:
-            raise NotImplementedError(
-                "clade exclusion is not yet supported on the sharded engine")
-        if self._compiled is None:
-            self._compiled = self._build_fn()
+        with_excl = exclude_groups is not None
+        if with_excl and self._target_groups is None:
+            raise ValueError("call set_exclusion() before passing "
+                             "exclude_groups")
+        if with_excl not in self._compiled:
+            self._compiled[with_excl] = self._build_fn(with_excl)
         if jax.process_count() > 1:
             # every process streams the same reads (the reference's "all
             # ranks read the same block", querying.h:749-790) -> replicate
@@ -238,15 +289,26 @@ class ShardedQueryEngine:
                                                       self.mesh)
         else:
             put = jnp.asarray
-        merged, best, best_rank, ovf = self._compiled(
+        # dummy placeholder for the unused packed-location operand: the
+        # sharded keys array (never read when has_packed is False)
+        loc_packed = self._loc_packed if self._loc_packed is not None \
+            else self._keys
+        eg = put(exclude_groups) if with_excl else None
+        tg = self._target_groups if with_excl else None
+        merged, best, best_rank, ovf, twh = self._compiled[with_excl](
             put(p1), put(a1), put(lens1),
             put(p2), put(a2), put(lens2),
             self._keys, self._offsets, self._loc_tgt, self._loc_win,
-            self._bucket_offsets, self._tct, self._lineage,
+            loc_packed, self._bucket_offsets, self._tct, self._lineage,
             jnp.int32(self.hits_min),
-            jnp.float32(self.classify.hits_diff_fraction))
-        return {"cand": merged, "best": best, "best_rank": best_rank,
-                "match_overflow": ovf}
+            jnp.float32(self.classify.hits_diff_fraction),
+            eg, tg)
+        out = {"cand": merged, "best": best, "best_rank": best_rank,
+               "match_overflow": ovf}
+        if twh is not None:
+            out["target_window_hits"] = twh
+        return out
 
     def materialize(self, out, n: int) -> BatchResult:
-        return BatchResult(n, out)
+        return BatchResult(n, out,
+                           has_target_window_hits=bool(self.target_window_k))

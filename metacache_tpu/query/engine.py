@@ -45,31 +45,12 @@ def _window_starts_static(max_len: int, window: int, stride: int) -> List[int]:
     return [int(s) for s in encode.window_starts(max_len, window, stride)]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "sketch_size", "window_size", "starts", "lmax",
-                     "max_candidates", "highest_rank", "window_stride",
-                     "insert_size_max", "target_window_k", "search_steps",
-                     "use_pallas_sketch", "win_bits"))
-def _query_batch_device(packed1, ambig1, lens1, packed2, ambig2, lens2,
-                        keys, offsets, loc_tgt, loc_win, target_cand_tax,
-                        ranked_lineage, hits_min, hits_diff,
-                        exclude_groups=None, target_groups=None,
-                        bucket_offsets=None, loc_packed=None,
-                        *, k: int, sketch_size: int, window_size: int,
-                        window_stride: int, starts: Tuple[int, ...],
-                        lmax: int, max_candidates: int, highest_rank: int,
-                        insert_size_max: int, target_window_k: int = 0,
-                        search_steps: int = None,
-                        use_pallas_sketch: bool = False,
-                        win_bits: int = 0):
-    """One fused device program: 2-bit-packed reads -> classification.
-
-    exclude_groups/target_groups implement clade exclusion
-    (remove_hits_on_rank, src/classification.cpp:141-157): matches whose
-    target's ancestor group equals the read's ground-truth group are
-    discarded before candidate generation.
-    """
+def compute_features(packed1, ambig1, lens1, packed2, ambig2, lens2,
+                     *, k: int, sketch_size: int, window_size: int,
+                     starts: Tuple[int, ...], use_pallas_sketch: bool):
+    """Per-read query features: sketches of every window of both mates
+    (accumulate_matches for seq1 and seq2, src/querying.h:787-790).
+    Returns [B, NF] uint32, NF = 2 * len(starts) * sketch_size."""
     B = packed1.shape[0]
     if use_pallas_sketch:
         # fused Pallas kernel (ops/sketch_pallas.py): unpack + kmer + hash
@@ -80,22 +61,48 @@ def _query_batch_device(packed1, ambig1, lens1, packed2, ambig2, lens2,
             window_size=window_size, starts=starts)
             for pk, am, ln in ((packed1, ambig1, lens1),
                                (packed2, ambig2, lens2))]
-        features = jnp.concatenate(feats, axis=1)
-    else:
-        codes1 = encode.unpack_codes(packed1, ambig1)
-        codes2 = encode.unpack_codes(packed2, ambig2)
-        feats = []
-        for codes, lens in ((codes1, lens1), (codes2, lens2)):
-            for s in starts:
-                wcodes = codes[:, s:s + window_size]
-                if wcodes.shape[1] < window_size:
-                    pad = jnp.full((B, window_size - wcodes.shape[1]), 255,
-                                   dtype=jnp.uint8)
-                    wcodes = jnp.concatenate([wcodes, pad], axis=1)
-                wlen = jnp.clip(lens - s, 0, window_size)
-                feats.append(sketch.sketch_windows(wcodes, wlen, k,
-                                                   sketch_size))
-        features = jnp.concatenate(feats, axis=1)
+        return jnp.concatenate(feats, axis=1)
+    codes1 = encode.unpack_codes(packed1, ambig1)
+    codes2 = encode.unpack_codes(packed2, ambig2)
+    feats = []
+    for codes, lens in ((codes1, lens1), (codes2, lens2)):
+        for s in starts:
+            wcodes = codes[:, s:s + window_size]
+            if wcodes.shape[1] < window_size:
+                pad = jnp.full((B, window_size - wcodes.shape[1]), 255,
+                               dtype=jnp.uint8)
+                wcodes = jnp.concatenate([wcodes, pad], axis=1)
+            wlen = jnp.clip(lens - s, 0, window_size)
+            feats.append(sketch.sketch_windows(wcodes, wlen, k,
+                                               sketch_size))
+    return jnp.concatenate(feats, axis=1)
+
+
+def local_candidates(packed1, ambig1, lens1, packed2, ambig2, lens2,
+                     keys, offsets, loc_tgt, loc_win, target_cand_tax,
+                     exclude_groups, target_groups, bucket_offsets,
+                     loc_packed,
+                     *, k: int, sketch_size: int, window_size: int,
+                     window_stride: int, starts: Tuple[int, ...],
+                     lmax: int, max_candidates: int, insert_size_max: int,
+                     search_steps: int, use_pallas_sketch: bool,
+                     win_bits: int):
+    """Sketch -> lookup -> (clade exclusion) -> candidate generation over
+    ONE feature-table (shard). Shared by the single-chip engine and each
+    shard of the sharded engine (the reference runs the identical local
+    pipeline on every rank before the candidate merge, querying.h:749-830).
+
+    exclude_groups/target_groups implement clade exclusion
+    (remove_hits_on_rank, src/classification.cpp:141-157): matches whose
+    target's ancestor group equals the read's ground-truth group are
+    discarded before candidate generation.
+
+    Returns (cand dict, tgt [B,lmax], win [B,lmax], total [B], overflow [B]).
+    """
+    features = compute_features(
+        packed1, ambig1, lens1, packed2, ambig2, lens2,
+        k=k, sketch_size=sketch_size, window_size=window_size,
+        starts=starts, use_pallas_sketch=use_pallas_sketch)
 
     tgt, win, total, overflow = lookup.lookup_matches(
         features, keys, offsets, loc_tgt, loc_win, lmax,
@@ -120,26 +127,74 @@ def _query_batch_device(packed1, ambig1, lens1, packed2, ambig2, lens2,
 
     cand = cand_ops.generate_candidates(tgt, win, num_windows,
                                         target_cand_tax, max_candidates)
+    return cand, tgt, win, total, overflow
+
+
+def target_window_hits(cand, tgt, win, target_window_k: int):
+    """Per-candidate window hit counts for the hits-per-target report
+    (matches_per_target::insert, src/matches_per_target.h:111-155):
+    counts of (cand.tgt, cand.beg + k) in the sorted match list. A target
+    absent from this match list (other shard) yields all-zero counts, so
+    per-shard results psum to the global counts."""
+    K = target_window_k
+    B, C = cand["tgt"].shape
+    kk = jnp.arange(K, dtype=jnp.int32)
+    q_win = (cand["beg"][:, :, None] + kk[None, None, :]).reshape(B, C * K)
+    q_tgt = jnp.repeat(cand["tgt"], K, axis=1)
+    lb = cand_ops._lower_bound_pairs(tgt, win, q_tgt, q_win)
+    ub = cand_ops._lower_bound_pairs(tgt, win, q_tgt, q_win + 1)
+    counts = (ub - lb).reshape(B, C, K)
+    in_range = (cand["beg"][:, :, None] + kk[None, None, :]) <= \
+        cand["end"][:, :, None]
+    return jnp.where(in_range, counts, 0)
+
+
+def make_target_groups(db: "Database", rank_code: int) -> np.ndarray:
+    """[T+1] int32 map target id -> ancestor taxon at `rank_code` (the
+    exclusion group of remove_hits_on_rank, src/classification.cpp:141-157);
+    the trailing slot absorbs the sentinel target."""
+    anc = db.taxonomy.ranked_lineage[:, rank_code].astype(np.int32)
+    groups = np.zeros(db.target_count + 1, np.int32)
+    groups[:-1] = anc[db.target_taxon_node]
+    return groups
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "sketch_size", "window_size", "starts", "lmax",
+                     "max_candidates", "highest_rank", "window_stride",
+                     "insert_size_max", "target_window_k", "search_steps",
+                     "use_pallas_sketch", "win_bits"))
+def _query_batch_device(packed1, ambig1, lens1, packed2, ambig2, lens2,
+                        keys, offsets, loc_tgt, loc_win, target_cand_tax,
+                        ranked_lineage, hits_min, hits_diff,
+                        exclude_groups=None, target_groups=None,
+                        bucket_offsets=None, loc_packed=None,
+                        *, k: int, sketch_size: int, window_size: int,
+                        window_stride: int, starts: Tuple[int, ...],
+                        lmax: int, max_candidates: int, highest_rank: int,
+                        insert_size_max: int, target_window_k: int = 0,
+                        search_steps: int = None,
+                        use_pallas_sketch: bool = False,
+                        win_bits: int = 0):
+    """One fused device program: 2-bit-packed reads -> classification."""
+    cand, tgt, win, total, overflow = local_candidates(
+        packed1, ambig1, lens1, packed2, ambig2, lens2,
+        keys, offsets, loc_tgt, loc_win, target_cand_tax,
+        exclude_groups, target_groups, bucket_offsets, loc_packed,
+        k=k, sketch_size=sketch_size, window_size=window_size,
+        window_stride=window_stride, starts=starts, lmax=lmax,
+        max_candidates=max_candidates, insert_size_max=insert_size_max,
+        search_steps=search_steps, use_pallas_sketch=use_pallas_sketch,
+        win_bits=win_bits)
     best, best_rank = classify_op.classify_lca(
         cand["tax"], cand["hits"], ranked_lineage, hits_min, hits_diff,
         highest_rank)
     out = {"cand": cand, "best": best, "best_rank": best_rank,
            "match_total": total, "match_overflow": overflow}
     if target_window_k:
-        # per-candidate window hit counts for the hits-per-target report
-        # (matches_per_target::insert, src/matches_per_target.h:111-155):
-        # counts of (cand.tgt, cand.beg + k) in the sorted match list
-        K = target_window_k
-        C = max_candidates
-        kk = jnp.arange(K, dtype=jnp.int32)
-        q_win = (cand["beg"][:, :, None] + kk[None, None, :]).reshape(B, C * K)
-        q_tgt = jnp.repeat(cand["tgt"], K, axis=1)
-        lb = cand_ops._lower_bound_pairs(tgt, win, q_tgt, q_win)
-        ub = cand_ops._lower_bound_pairs(tgt, win, q_tgt, q_win + 1)
-        counts = (ub - lb).reshape(B, C, K)
-        in_range = (cand["beg"][:, :, None] + kk[None, None, :]) <= \
-            cand["end"][:, :, None]
-        out["target_window_hits"] = jnp.where(in_range, counts, 0)
+        out["target_window_hits"] = target_window_hits(cand, tgt, win,
+                                                       target_window_k)
     return out
 
 
