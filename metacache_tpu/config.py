@@ -118,3 +118,9 @@ class QueryPipelineParams:
     batch_size: int = 4096
     max_query_len: int = 320      # reads padded/bucketed to this length
     max_locations_per_query: int = 2048
+    # capacity of the FAST first-pass program (two-tier dispatch): most
+    # reads need far fewer match slots than the worst case, so batches run
+    # through a narrow program first and only reads that overflow it are
+    # re-classified through the max_locations_per_query-wide program.
+    # 0 = auto-size from the database's mean bucket size at engine init.
+    fast_locations_per_query: int = 0

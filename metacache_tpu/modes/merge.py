@@ -175,6 +175,11 @@ def _classify_and_report(db: Database, opt: QueryModeOptions, headers,
     timer = Timer()
     timer.start()
     c = opt.output.format.comment
+    # parameter echo precedes everything (mode_merge.cpp:358 emits the same
+    # block as query mode; merge runs single-threaded, mode_merge.cpp:91-92)
+    if opt.output.show_query_params:
+        opt.num_threads = 1
+        out_mod.show_query_parameters(out, opt)
     out.write(f"{c}Merging {len(infiles)} files:\n")
     for f in infiles:
         out.write(f"{c}{f}\n")

@@ -1,0 +1,186 @@
+"""Broad golden parity sweep vs the reference binary: 64-genome world,
+10k read pairs, canonical benchmark flags and the advanced output modes,
+compared as FULL files (only the run-dependent time/speed lines dropped).
+Also merge-mode parity: the reference's merge of our per-database result
+files must equal our own merge of the same files.
+
+Reference invocations run at P=2 through the FIFO MPI stub (the reference's
+distributed query path needs P>=2, querying.h:892-1071); merges run at P=1
+(merge is not MPI-parallel, README.md:37)."""
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests import util_mockdata as mock
+from tests.test_golden_parity import (BUILD_DIR, RUN_STUB, STUB_BIN,
+                                      _ensure_reference_binary)
+
+pytestmark = pytest.mark.skipif(not _ensure_reference_binary(),
+                                reason="reference binary not available")
+
+NUM_GENOMES = 64
+GENOME_LEN = 2000
+NUM_PAIRS = 10_000
+
+
+def run(cmd, **kw):
+    return subprocess.run(cmd, capture_output=True, text=True, **kw)
+
+
+def _run_cli(args):
+    env = dict(os.environ, METACACHE_PLATFORM="cpu", PYTHONPATH="/root/repo")
+    return run([sys.executable, "-m", "metacache_tpu.cli"] + args,
+               cwd="/root/repo", env=env)
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("sweep"))
+    fasta, nodes, names, merged, genomes, taxids = mock.make_mock_world(
+        tmp, num_genomes=NUM_GENOMES, genome_len=GENOME_LEN, seed=71)
+    rng = np.random.default_rng(72)
+    r1, r2 = [], []
+    for i in range(NUM_PAIRS):
+        if i % 16 == 15:          # unclassifiable pairs
+            r1.append((f"p{i}_random/1", mock.random_genome(rng, 100)))
+            r2.append((f"p{i}_random/2", mock.random_genome(rng, 100)))
+            continue
+        g = int(rng.integers(0, NUM_GENOMES))
+        pos = int(rng.integers(0, GENOME_LEN - 400))
+        s1 = genomes[g][pos:pos + 100]
+        s2 = genomes[g][pos + 250:pos + 350]
+        if i % 4 == 0:
+            s1 = mock.mutate(rng, s1, 0.02)
+            s2 = mock.mutate(rng, s2, 0.02)
+        r1.append((f"p{i}_NC_{g:06d}.1/1", s1))
+        r2.append((f"p{i}_NC_{g:06d}.1/2", s2))
+    mock.write_fasta(os.path.join(tmp, "reads_1.fa"), r1)
+    mock.write_fasta(os.path.join(tmp, "reads_2.fa"), r2)
+
+    res = run([RUN_STUB, "2", STUB_BIN, "build", f"{tmp}/refdb",
+               fasta, "-taxonomy", f"{tmp}/tax"])
+    assert os.path.exists(f"{tmp}/refdb.db_0"), res.stderr
+    res = _run_cli(["build", f"{tmp}/mydb", fasta,
+                    "-taxonomy", f"{tmp}/tax"])
+    assert res.returncode == 0, res.stderr
+    return tmp
+
+
+def _lines(path):
+    with open(path) as f:
+        return [l for l in f if not l.startswith(("# time:", "# speed:"))]
+
+
+FLAG_SETS = [
+    pytest.param(["-maxcand", "4", "-hitmin", "4", "-hitdiff", "80",
+                  "-abundance-per", "species"], id="canonical"),
+    pytest.param(["-allhits", "-queryids"], id="allhits"),
+    pytest.param(["-tophits", "-locations", "-queryids"], id="locations"),
+    pytest.param(["-abundances"], id="abundances"),
+]
+
+
+def _query_both(tmp, tag, flags):
+    # -threads 2: the reference's per-block query-id map overflows a
+    # hopscotch capacity limit at high default thread counts
+    # (std::length_error in querying.h:733's map); bound it like the
+    # cluster scripts do (script/ft/queries_s4/*_2T_*.sh)
+    base = [f"{tmp}/reads_1.fa", f"{tmp}/reads_2.fa",
+            "-pairfiles", "-lowest", "species",
+            "-threads", "2", "-query-limit", "25000"] + flags
+    res = run([RUN_STUB, "2", STUB_BIN, "query", f"{tmp}/refdb"] + base +
+              ["-out", f"{tmp}/ref_{tag}.txt"])
+    assert os.path.exists(f"{tmp}/ref_{tag}.txt"), res.stderr
+    res = _run_cli(["query", f"{tmp}/mydb"] + base +
+                   ["-out", f"{tmp}/my_{tag}.txt"])
+    assert res.returncode == 0, res.stderr
+    return _lines(f"{tmp}/ref_{tag}.txt"), _lines(f"{tmp}/my_{tag}.txt")
+
+
+@pytest.mark.parametrize("flags", FLAG_SETS)
+def test_full_file_parity_sweep(world, flags):
+    tmp = world
+    tag = "_".join(f.strip("-") for f in flags)
+    ref, mine = _query_both(tmp, tag, flags)
+    if "-locations" in flags:
+        # DOCUMENTED DIVERGENCE: the reference's cross-rank reduce
+        # transmits only (qid, taxid, hits) triples (querying.h:944-1019),
+        # so at P>=2 every re-inserted candidate's window range resets to
+        # [0, winlen] — its -locations column is degenerate. We keep the
+        # true ranges; compare everything else byte-for-byte.
+        import re
+        norm = lambda ls: [re.sub(r"\[\d+,\d+\] ", "[] ", l) for l in ls]
+        ref, mine = norm(ref), norm(mine)
+    assert len(ref) == len(mine), (len(ref), len(mine))
+    assert ref == mine
+
+
+def test_precision_ground_truth(world):
+    """DOCUMENTED DIVERGENCE: in the reference's P>=2 path the ground
+    truth is resolved on each rank during matching (prepare_evaluation in
+    get_classification, classification.cpp:677) but rank 0's output stage
+    evaluates a freshly constructed sequence_query whose groundTruth was
+    never set (querying.h:1088-1136), so -ground-truth/-precision always
+    print '--' and count every read as ground-truth-unknown. We resolve
+    ground truth properly; verify (a) classifications still match the
+    reference byte-for-byte, (b) the reference's column is degenerate,
+    (c) our column names the true source species."""
+    tmp = world
+    ref, mine = _query_both(tmp, "gt", ["-ground-truth", "-precision"])
+    ref_map = [l for l in ref if not l.startswith("#")]
+    my_map = [l for l in mine if not l.startswith("#")]
+    assert len(ref_map) == len(my_map)
+    n_checked = 0
+    for rl, ml in zip(ref_map, my_map):
+        rp = [p.strip() for p in rl.split("|")]
+        mp = [p.strip() for p in ml.split("|")]
+        assert rp[0] == mp[0]          # header
+        assert rp[-1] == mp[-1]        # classification
+        assert rp[1] == "--"           # reference ground truth: degenerate
+        if "_NC_" in mp[0]:            # ours resolves the embedded source
+            g = int(mp[0].split("_NC_")[1].split(".")[0])
+            assert mp[1] == f"species:Species{g}", (mp[0], mp[1])
+            n_checked += 1
+    assert n_checked > 5000
+
+
+def test_merge_mode_parity(world):
+    """Split the reference set into two databases, query both, then merge:
+    the reference binary's merge of our result files must equal our merge
+    of the same files (full-file compare)."""
+    tmp = world
+    # two half-worlds from the same genome files
+    with open(f"{tmp}/genomes.fa") as f:
+        text = f.read()
+    recs = ["\n".join(p.splitlines()) for p in text.split(">") if p.strip()]
+    half = len(recs) // 2
+    with open(f"{tmp}/half_a.fa", "w") as f:
+        f.write("".join(">" + r + "\n" for r in recs[:half]))
+    with open(f"{tmp}/half_b.fa", "w") as f:
+        f.write("".join(">" + r + "\n" for r in recs[half:]))
+    for part in ("a", "b"):
+        res = _run_cli(["build", f"{tmp}/db_{part}", f"{tmp}/half_{part}.fa",
+                        "-taxonomy", f"{tmp}/tax"])
+        assert res.returncode == 0, res.stderr
+        res = _run_cli(["query", f"{tmp}/db_{part}",
+                        f"{tmp}/reads_1.fa", f"{tmp}/reads_2.fa",
+                        "-pairfiles", "-tophits", "-queryids",
+                        "-lowest", "species",
+                        "-out", f"{tmp}/part_{part}.txt"])
+        assert res.returncode == 0, res.stderr
+
+    res = run([STUB_BIN, "merge", f"{tmp}/part_a.txt", f"{tmp}/part_b.txt",
+               "-taxonomy", f"{tmp}/tax", "-out", f"{tmp}/refmerge.txt"],
+              env=dict(os.environ, MC_STUB_RANK="0", MC_STUB_SIZE="1"))
+    assert os.path.exists(f"{tmp}/refmerge.txt"), res.stderr
+    res = _run_cli(["merge", f"{tmp}/part_a.txt", f"{tmp}/part_b.txt",
+                    "-taxonomy", f"{tmp}/tax",
+                    "-out", f"{tmp}/mymerge.txt"])
+    assert res.returncode == 0, res.stderr
+    ref, mine = _lines(f"{tmp}/refmerge.txt"), _lines(f"{tmp}/mymerge.txt")
+    assert len(ref) == len(mine), (len(ref), len(mine))
+    assert ref == mine
