@@ -186,16 +186,70 @@ def measure_tpu() -> float:
     return rps
 
 
+def measure_build() -> dict:
+    """Steady-state database build throughput in Gbp/s (compile excluded:
+    the first build in measure_tpu warmed the jit caches; this measures a
+    fresh build of the same world to a throwaway path)."""
+    import shutil
+    from metacache_tpu.modes.build import main_mode_build
+    from metacache_tpu.utils import ArgsParser
+    out = {}
+    gbp = NUM_GENOMES * GENOME_LEN / 1e9
+    args = ["build", os.path.join(WORK, "builddb"),
+            os.path.join(WORK, "genomes.fa"),
+            "-taxonomy", os.path.join(WORK, "tax"), "-silent"]
+    main_mode_build(ArgsParser(list(args)))   # warmup: compile the
+    for f in os.listdir(WORK):                # sketch/sort programs
+        if f.startswith("builddb"):
+            os.remove(os.path.join(WORK, f))
+    t0 = time.time()
+    main_mode_build(ArgsParser(list(args)))
+    wall = time.time() - t0
+    out["build_seconds"] = round(wall, 2)
+    out["build_gbps"] = round(gbp / wall, 5)
+    log(f"build: {gbp*1000:.1f} Mbp in {wall:.1f}s = "
+        f"{out['build_gbps']:.4f} Gbp/s")
+    # reference build time on the same world (2 ranks), cached alongside
+    # the query baseline
+    ref = {}
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            ref = json.load(f)
+    if "reference_build_gbps" not in ref and \
+            os.path.exists("/tmp/refbuild/metacache_mpi2"):
+        t0 = time.time()
+        r = subprocess.run(["/tmp/refbuild/run_stub.sh", "2",
+                            "/tmp/refbuild/metacache_mpi2", "build",
+                            os.path.join(WORK, "refdb_t"),
+                            os.path.join(WORK, "genomes.fa"),
+                            "-taxonomy", os.path.join(WORK, "tax")],
+                           capture_output=True, text=True)
+        wall = time.time() - t0
+        if r.returncode == 0:
+            ref["reference_build_gbps"] = round(gbp / wall, 5)
+            with open(BASELINE_FILE, "w") as f:
+                json.dump(ref, f, indent=1)
+    if "reference_build_gbps" in ref:
+        out["build_vs_baseline"] = round(
+            out["build_gbps"] / ref["reference_build_gbps"], 3)
+    for f in os.listdir(WORK):
+        if f.startswith(("builddb", "refdb_t")):
+            os.remove(os.path.join(WORK, f))
+    return out
+
+
 def main():
     make_world()
     ref_rps = measure_reference()
     tpu_rps = measure_tpu()
+    build = measure_build()
     vs = tpu_rps / ref_rps if ref_rps > 0 else 0.0
     print(json.dumps({
         "metric": "reads_classified_per_sec_per_chip",
         "value": round(tpu_rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(vs, 3),
+        **build,
     }))
 
 
