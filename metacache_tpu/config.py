@@ -124,3 +124,9 @@ class QueryPipelineParams:
     # re-classified through the max_locations_per_query-wide program.
     # 0 = auto-size from the database's mean bucket size at engine init.
     fast_locations_per_query: int = 0
+    # per-feature location cap of the fast tier's DIRECT lookup path
+    # (ops/lookup.lookup_matches_direct): each query feature emits exactly
+    # this many match slots, no CSR slot expansion. Reads holding a feature
+    # with more stored locations re-run through the full-width program.
+    # 0 = auto-size from bucket-size stats; -1 = disable the direct path.
+    fast_bucket_cap: int = 0

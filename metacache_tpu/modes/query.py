@@ -352,7 +352,15 @@ class QueryProcessor:
                 else -1)
         except OSError:
             return False
-        pending = None  # (device_out, n, meta)
+        # windowed pipelining: dispatch WINDOW batches, fetch their result
+        # summaries in ONE stacked device->host transfer (every transfer is
+        # a full round trip through a tunneled TPU), and format window k
+        # while window k+1 computes — the TPU counterpart of the
+        # reference's reader/worker/output thread overlap
+        # (src/querying.h:749-830, :1088-1136).
+        WINDOW = 8
+        pending = []   # dispatched, not yet materialized
+        windows = []   # completed dispatch windows
         first = True
         for b in reader:
             if first:
@@ -371,12 +379,23 @@ class QueryProcessor:
             dev = self.engine.dispatch_packed(
                 b.packed1, b.ambig1, b.lens1, b.packed2, b.ambig2, b.lens2,
                 exclude_groups=exclude_groups)
-            if pending is not None:
-                self._finalize(pending, out)
-            pending = (dev, b.n, meta, gts)
-        if pending is not None:
-            self._finalize(pending, out)
+            pending.append((dev, b.n, meta, gts))
+            if len(pending) >= WINDOW:
+                windows.append(pending)
+                pending = []
+                if len(windows) == 2:
+                    self._finalize_window(windows.pop(0), out)
+        if pending:
+            windows.append(pending)
+        for w in windows:
+            self._finalize_window(w, out)
         return True
+
+    def _finalize_window(self, window, out: TextIO):
+        results = self.engine.materialize_many(
+            [(dev, n) for dev, n, _, _ in window])
+        for res, (dev, n, meta, gts) in zip(results, window):
+            self._postprocess(res, n, meta, gts, out)
 
     def _finalize(self, pending, out: TextIO):
         dev, n, meta, gts = pending

@@ -166,6 +166,72 @@ def _expand_slots(start, cum_ex, lmax: int):
     return back[:, NF:] + slots[None, :]
 
 
+def lookup_matches_direct(features, keys, start_tbl, cnt_tbl, loc_tgt,
+                          loc_win, mb: int, bucket_offsets=None,
+                          search_steps=None, loc_packed=None,
+                          win_bits: int = 0):
+    """Gather + sort match lists with a static per-feature location cap.
+
+    The fast-tier alternative to lookup_matches: instead of computing
+    per-read slot positions with an exclusive cumsum + rank-by-sort
+    expansion (the S(1)-staged hot spot of the round-2 profile, PERF.md),
+    every query feature emits exactly `mb` slots — slot (f, j) reads
+    location start[f] + j, masked to a sentinel when j >= cnt[f].  The
+    per-read sort that downstream candidate generation needs anyway pushes
+    the sentinels to the end, so no compaction step exists at all.  Output
+    width is NF * mb (static).
+
+    Correctness contract: a read where ANY feature has cnt > mb reports
+    overflow > 0 and MUST be re-classified through the full-width
+    lookup_matches program (QueryEngine.materialize does this); rows with
+    overflow == 0 are exactly equal to the full path's output.  When mb >=
+    the table's max bucket size no read ever overflows and the fast tier
+    is exact by itself.
+
+    Args:
+      features: [B, NF] uint32 query features (FEATURE_SENTINEL = none).
+      keys:     [F] uint32 sorted feature keys
+      start_tbl:[F] int32 CSR start offsets (offsets[:-1])
+      cnt_tbl:  [F] int32 per-feature location counts (diff(offsets))
+      mb:       static per-feature location cap (fast-tier bucket bound)
+      loc_packed/win_bits, bucket_offsets/search_steps: as lookup_matches.
+
+    Returns (tgt [B, NF*mb], win [B, NF*mb], total [B], overflow [B]).
+    """
+    B, NF = features.shape
+    F = keys.shape[0]
+
+    idx = global_lower_bound(keys, features, bucket_offsets, search_steps)
+    idx = jnp.minimum(idx, F - 1)
+    found = (keys[idx] == features) & (features != SENTINEL_U32)
+    start = jnp.where(found, start_tbl[idx], 0)
+    cnt = jnp.where(found, cnt_tbl[idx], 0)
+    cnt_c = jnp.minimum(cnt, mb)
+
+    j = jnp.arange(mb, dtype=jnp.int32)
+    li = start[:, :, None] + j[None, None, :]
+    valid = j[None, None, :] < cnt_c[:, :, None]
+    li = jnp.where(valid, li, 0).reshape(B, NF * mb)
+    validf = valid.reshape(B, NF * mb)
+    total = jnp.sum(cnt_c, axis=1)
+    overflow = jnp.sum(cnt - cnt_c, axis=1)
+
+    if loc_packed is not None:
+        packed = jnp.where(validf, loc_packed[li], jnp.int32(2**31 - 1))
+        packed = jax.lax.sort(packed, dimension=1, is_stable=False)
+        ok = packed != jnp.int32(2**31 - 1)
+        tgt = jnp.where(ok, packed >> win_bits, TARGET_SENTINEL)
+        win = jnp.where(ok, packed & jnp.int32((1 << win_bits) - 1),
+                        jnp.int32(2**31 - 1))
+    else:
+        loc_pairs = jnp.stack([loc_tgt, loc_win], axis=1)[li]
+        tgt = jnp.where(validf, loc_pairs[..., 0], TARGET_SENTINEL)
+        win = jnp.where(validf, loc_pairs[..., 1], jnp.int32(2**31 - 1))
+        tgt, win = jax.lax.sort((tgt, win), dimension=1, num_keys=2,
+                                is_stable=True)
+    return tgt, win, total, overflow
+
+
 def lookup_matches(features, keys, offsets, loc_tgt, loc_win, lmax: int,
                    bucket_offsets=None, search_steps=None, loc_packed=None,
                    win_bits: int = 0):

@@ -135,16 +135,28 @@ class ShardedQueryEngine:
                   else 0) for d in dbs)
         win_bits = max(1, wb.bit_length())
         packable = max(1, tb.bit_length()) + win_bits <= 31
+        max_bucket = max((int(d.features.bucket_sizes().max())
+                          if d.features.num_keys else 0) for d in dbs)
         if multiproc:
             # all shards must pad to the same (global) table sizes, and the
-            # unrolled-search step count / win_bits are static compile
-            # parameters — agree across hosts
+            # unrolled-search step count / win_bits / direct-path bucket cap
+            # are static compile parameters — agree across hosts
             from jax.experimental import multihost_utils
             g = multihost_utils.process_allgather(
-                np.array([pad_f, pad_l, win_bits, int(packable)], np.int64))
+                np.array([pad_f, pad_l, win_bits, int(packable),
+                          max_bucket], np.int64))
             pad_f, pad_l = int(g[:, 0].max()), int(g[:, 1].max())
             win_bits = int(g[:, 2].max())
             packable = bool(g[:, 3].min())
+            max_bucket = int(g[:, 4].max())
+        # direct fast lookup (ops/lookup.lookup_matches_direct): the sharded
+        # engine has no overflow re-run tier, so use it only when EXACT —
+        # the per-feature cap covers the global max bucket size and the
+        # resulting static match width stays below the legacy lmax
+        nf_width = 2 * len(self.starts) * p.sketch_size * max(1, max_bucket)
+        self._direct_mb = max_bucket if (
+            pipeline.fast_bucket_cap >= 0 and max_bucket > 0
+            and nf_width <= pipeline.max_locations_per_query) else 0
         keys, offsets, tgts, wins, packed = stack_shard_tables(
             dbs, pad_keys_to=pad_f, pad_locs_to=pad_l,
             win_bits=win_bits if packable else 0)
@@ -164,6 +176,12 @@ class ShardedQueryEngine:
         self._bucket_offsets = dist.put_sharded(np.stack(buckets), mesh)
         self._keys = dist.put_sharded(keys, mesh)
         self._offsets = dist.put_sharded(offsets, mesh)
+        # flat (start, cnt) tables for the direct lookup; padded key slots
+        # carry cnt == 0 (device_arrays pads offsets with the last offset)
+        self._start_tbl = dist.put_sharded(
+            offsets[:, :-1].astype(np.int32), mesh)
+        self._cnt_tbl = dist.put_sharded(
+            np.diff(offsets, axis=1).astype(np.int32), mesh)
         self._loc_tgt = dist.put_sharded(tgts, mesh)
         self._loc_win = dist.put_sharded(wins, mesh)
         self._loc_packed = None if packed is None \
@@ -205,8 +223,11 @@ class ShardedQueryEngine:
         twk = self.target_window_k
         has_packed = self._loc_packed is not None
 
+        direct_mb = self._direct_mb
+
         def shard_fn(packed1, ambig1, lens1, packed2, ambig2, lens2,
                      keys, offsets, loc_tgt, loc_win, loc_packed, buckets,
+                     start_tbl, cnt_tbl,
                      tct, lineage, hits_min, hits_diff,
                      exclude_groups, target_groups):
             # local shard block: leading axis of size 1
@@ -215,10 +236,12 @@ class ShardedQueryEngine:
                 keys[0], offsets[0], loc_tgt[0], loc_win[0], tct,
                 exclude_groups, target_groups, buckets[0],
                 loc_packed[0] if has_packed else None,
+                start_tbl[0], cnt_tbl[0],
                 k=k, sketch_size=S, window_size=W, window_stride=stride,
                 starts=starts, lmax=lmax, max_candidates=C,
                 insert_size_max=insert_max, search_steps=search_steps,
-                use_pallas_sketch=use_pallas, win_bits=win_bits)
+                use_pallas_sketch=use_pallas, win_bits=win_bits,
+                direct_mb=direct_mb)
             B = tgt.shape[0]
 
             # ---- cross-shard candidate merge over ICI ----
@@ -236,22 +259,31 @@ class ShardedQueryEngine:
                 merged["tax"], merged["hits"], lineage, hits_min, hits_diff,
                 highest)
             ovf = jax.lax.psum(overflow, "shard")
+            tot = jax.lax.psum(total, "shard")
+            # fused summary: one device->host transfer serves the default
+            # output path (see query.engine.BatchResult). The direct path
+            # is only enabled when exact (overflow provably zero), so it
+            # ships the slim [2, B] form.
+            if direct_mb:
+                summary = jnp.stack([best, best_rank])
+            else:
+                summary = jnp.stack([best, best_rank, tot, ovf])
             twh = None
             if twk:
                 # per-shard counts vs the local match list; psum = global
                 # counts (each target's matches live wholly on one shard)
                 twh = jax.lax.psum(
                     target_window_hits(merged, tgt, win, twk), "shard")
-            return merged, best, best_rank, ovf, twh
+            return merged, best, best_rank, ovf, summary, twh
 
         mesh = self.mesh
         fn = jax.shard_map(
             shard_fn, mesh=mesh,
             in_specs=(P(), P(), P(), P(), P(), P(),   # reads replicated
                       P("shard"), P("shard"), P("shard"), P("shard"),
-                      P("shard"), P("shard"),
+                      P("shard"), P("shard"), P("shard"), P("shard"),
                       P(), P(), P(), P(), P(), P()),
-            out_specs=(P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P(), P()),
             check_vma=False)
         return jax.jit(fn)
 
@@ -295,16 +327,19 @@ class ShardedQueryEngine:
             else self._keys
         eg = put(exclude_groups) if with_excl else None
         tg = self._target_groups if with_excl else None
-        merged, best, best_rank, ovf, twh = self._compiled[with_excl](
+        merged, best, best_rank, ovf, summary, twh = self._compiled[with_excl](
             put(p1), put(a1), put(lens1),
             put(p2), put(a2), put(lens2),
             self._keys, self._offsets, self._loc_tgt, self._loc_win,
-            loc_packed, self._bucket_offsets, self._tct, self._lineage,
+            loc_packed, self._bucket_offsets,
+            self._start_tbl, self._cnt_tbl, self._tct, self._lineage,
             jnp.int32(self.hits_min),
             jnp.float32(self.classify.hits_diff_fraction),
             eg, tg)
         out = {"cand": merged, "best": best, "best_rank": best_rank,
-               "match_overflow": ovf}
+               "match_overflow": ovf, "summary": summary}
+        if self._direct_mb:
+            out["_zero_overflow"] = True
         if twh is not None:
             out["target_window_hits"] = twh
         return out
@@ -312,3 +347,16 @@ class ShardedQueryEngine:
     def materialize(self, out, n: int) -> BatchResult:
         return BatchResult(n, out,
                            has_target_window_hits=bool(self.target_window_k))
+
+    def materialize_many(self, items):
+        """One stacked summary transfer for several dispatched batches
+        (see QueryEngine.materialize_many)."""
+        outs = [o for o, _ in items]
+        if outs and all(
+                "summary" in o and getattr(o["summary"],
+                                           "is_fully_addressable", True)
+                for o in outs):
+            host = np.asarray(jnp.stack([o["summary"] for o in outs]))
+            for o, h in zip(outs, host):
+                o["_summary_host"] = h
+        return [self.materialize(o, n) for o, n in items]

@@ -81,12 +81,12 @@ def compute_features(packed1, ambig1, lens1, packed2, ambig2, lens2,
 def local_candidates(packed1, ambig1, lens1, packed2, ambig2, lens2,
                      keys, offsets, loc_tgt, loc_win, target_cand_tax,
                      exclude_groups, target_groups, bucket_offsets,
-                     loc_packed,
+                     loc_packed, start_tbl=None, cnt_tbl=None,
                      *, k: int, sketch_size: int, window_size: int,
                      window_stride: int, starts: Tuple[int, ...],
                      lmax: int, max_candidates: int, insert_size_max: int,
                      search_steps: int, use_pallas_sketch: bool,
-                     win_bits: int):
+                     win_bits: int, direct_mb: int = 0):
     """Sketch -> lookup -> (clade exclusion) -> candidate generation over
     ONE feature-table (shard). Shared by the single-chip engine and each
     shard of the sharded engine (the reference runs the identical local
@@ -104,10 +104,20 @@ def local_candidates(packed1, ambig1, lens1, packed2, ambig2, lens2,
         k=k, sketch_size=sketch_size, window_size=window_size,
         starts=starts, use_pallas_sketch=use_pallas_sketch)
 
-    tgt, win, total, overflow = lookup.lookup_matches(
-        features, keys, offsets, loc_tgt, loc_win, lmax,
-        bucket_offsets=bucket_offsets, search_steps=search_steps,
-        loc_packed=loc_packed, win_bits=win_bits)
+    if direct_mb > 0:
+        # fast tier: static per-feature slot emission, no CSR expansion
+        # (ops/lookup.lookup_matches_direct); overflow rows are re-run at
+        # full width by QueryEngine.materialize
+        tgt, win, total, overflow = lookup.lookup_matches_direct(
+            features, keys, start_tbl, cnt_tbl, loc_tgt, loc_win,
+            direct_mb, bucket_offsets=bucket_offsets,
+            search_steps=search_steps, loc_packed=loc_packed,
+            win_bits=win_bits)
+    else:
+        tgt, win, total, overflow = lookup.lookup_matches(
+            features, keys, offsets, loc_tgt, loc_win, lmax,
+            bucket_offsets=bucket_offsets, search_steps=search_steps,
+            loc_packed=loc_packed, win_bits=win_bits)
 
     if exclude_groups is not None and target_groups is not None:
         T1 = target_groups.shape[0]
@@ -187,12 +197,14 @@ def unfuse_device_inputs(fused, qlen: int):
     static_argnames=("k", "sketch_size", "window_size", "starts", "lmax",
                      "max_candidates", "highest_rank", "window_stride",
                      "insert_size_max", "target_window_k", "search_steps",
-                     "use_pallas_sketch", "win_bits", "qlen"))
+                     "use_pallas_sketch", "win_bits", "qlen", "direct_mb",
+                     "slim_summary"))
 def _query_batch_device(fused,
                         keys, offsets, loc_tgt, loc_win, target_cand_tax,
                         ranked_lineage, hits_min, hits_diff,
                         exclude_groups=None, target_groups=None,
                         bucket_offsets=None, loc_packed=None,
+                        start_tbl=None, cnt_tbl=None,
                         *, k: int, sketch_size: int, window_size: int,
                         window_stride: int, starts: Tuple[int, ...],
                         lmax: int, max_candidates: int, highest_rank: int,
@@ -200,7 +212,8 @@ def _query_batch_device(fused,
                         target_window_k: int = 0,
                         search_steps: int = None,
                         use_pallas_sketch: bool = False,
-                        win_bits: int = 0):
+                        win_bits: int = 0, direct_mb: int = 0,
+                        slim_summary: bool = False):
     """One fused device program: 2-bit-packed reads -> classification."""
     packed1, ambig1, lens1, packed2, ambig2, lens2 = \
         unfuse_device_inputs(fused, qlen)
@@ -208,16 +221,27 @@ def _query_batch_device(fused,
         packed1, ambig1, lens1, packed2, ambig2, lens2,
         keys, offsets, loc_tgt, loc_win, target_cand_tax,
         exclude_groups, target_groups, bucket_offsets, loc_packed,
+        start_tbl, cnt_tbl,
         k=k, sketch_size=sketch_size, window_size=window_size,
         window_stride=window_stride, starts=starts, lmax=lmax,
         max_candidates=max_candidates, insert_size_max=insert_size_max,
         search_steps=search_steps, use_pallas_sketch=use_pallas_sketch,
-        win_bits=win_bits)
+        win_bits=win_bits, direct_mb=direct_mb)
     best, best_rank = classify_op.classify_lca(
         cand["tax"], cand["hits"], ranked_lineage, hits_min, hits_diff,
         highest_rank)
+    # the default output path needs only these [B] vectors; stacking them
+    # lets BatchResult fetch them in ONE device->host transfer (transfers
+    # cost a full round trip + ~10 MB/s through a tunneled TPU, PERF.md).
+    # slim_summary (exact direct tier: overflow provably all-zero) halves
+    # the bytes by omitting the total/overflow rows.
+    if slim_summary:
+        summary = jnp.stack([best, best_rank])
+    else:
+        summary = jnp.stack([best, best_rank, total, overflow])
     out = {"cand": cand, "best": best, "best_rank": best_rank,
-           "match_total": total, "match_overflow": overflow}
+           "match_total": total, "match_overflow": overflow,
+           "summary": summary}
     if target_window_k:
         out["target_window_hits"] = target_window_hits(cand, tgt, win,
                                                        target_window_k)
@@ -238,6 +262,7 @@ class BatchResult:
     _FIELDS = {
         "best": ("best",),
         "best_rank": ("best_rank",),
+        "match_total": ("match_total",),
         "match_overflow": ("match_overflow",),
         "cand_tax": ("cand", "tax"),
         "cand_hits": ("cand", "hits"),
@@ -246,6 +271,10 @@ class BatchResult:
         "cand_tgt": ("cand", "tgt"),
         "target_window_hits": ("target_window_hits",),
     }
+    # rows of the fused [4, B] "summary" tensor — fetched together in one
+    # transfer when present (see _query_batch_device)
+    _SUMMARY_ROWS = {"best": 0, "best_rank": 1, "match_total": 2,
+                     "match_overflow": 3}
 
     def __init__(self, n: int, out: Dict, has_target_window_hits=False):
         self.n = n
@@ -262,6 +291,28 @@ class BatchResult:
         if path is None:
             raise AttributeError(name)
         cache = self.__dict__["_cache"]
+        row = BatchResult._SUMMARY_ROWS.get(name)
+        out = self.__dict__["_out"]
+        if row is not None and "summary" in out:
+            nrows = out["summary"].shape[0]
+            if name == "match_overflow" and nrows <= row and \
+                    out.get("_zero_overflow"):
+                # slim [2, B] summary: overflow is provably all-zero in the
+                # exact direct tier — synthesize instead of transferring
+                return cache.setdefault(name, np.zeros(
+                    out["summary"].shape[1], np.int32))
+            if row < nrows:
+                if name not in cache:
+                    v = np.array(_summary_host(out))
+                    for rows, patch_out in self.__dict__["_patches"]:
+                        v[:, rows] = _summary_host(patch_out)[:nrows,
+                                                              :len(rows)]
+                    for f, i in BatchResult._SUMMARY_ROWS.items():
+                        if i < nrows:
+                            cache[f] = v[i]
+                return cache[name]
+            # fall through: field row not in the slim summary (match_total)
+            # -> legacy lazy pull below
         if name not in cache:
             if name == "target_window_hits" and not self._has_twh:
                 cache[name] = None
@@ -279,6 +330,13 @@ class BatchResult:
                         v[rows] = _to_host(pv)[:len(rows)]
                 cache[name] = v
         return cache[name]
+
+
+def _summary_host(out) -> np.ndarray:
+    """Host copy of an out dict's [4, B] summary tensor, preferring one
+    pre-fetched by materialize_many's stacked transfer."""
+    pre = out.get("_summary_host")
+    return pre if pre is not None else _to_host(out["summary"])
 
 
 def _to_host(arr) -> np.ndarray:
@@ -339,6 +397,28 @@ class QueryEngine:
         self._offsets = jnp.asarray(offsets)
         self._loc_tgt = jnp.asarray(loc_tgt)
         self._loc_win = jnp.asarray(loc_win)
+
+        # direct fast-tier lookup: flat (start, cnt) tables + a static
+        # per-feature location cap covering >=99.5% of stored locations
+        # (heavier buckets route their reads to the full-width re-run)
+        cap = pipeline.fast_bucket_cap
+        sizes = np.diff(np.asarray(offsets))
+        max_bucket = int(sizes.max()) if len(sizes) else 0
+        if cap == 0 and len(sizes):
+            if max_bucket <= 16:
+                # small max bucket: cover it exactly — no overflow re-runs
+                # AND no synchronous per-batch overflow pull (a device->host
+                # round trip costs up to ~100 ms through a tunneled TPU)
+                cap = max_bucket
+            else:
+                tot = float(sizes.sum())
+                for cap in (2, 4, 6, 8, 12, 16):
+                    if np.minimum(sizes, cap).sum() >= 0.995 * tot:
+                        break
+        self._direct_mb = 0 if cap < 0 else int(min(cap, max(1, max_bucket)))
+        self._direct_exact = self._direct_mb >= max_bucket
+        self._start_tbl = jnp.asarray(offsets[:-1].astype(np.int32))
+        self._cnt_tbl = jnp.asarray(sizes.astype(np.int32))
         packed, self._win_bits = db.features.packed_locations()
         self._loc_packed = None if packed is None else jnp.asarray(packed)
         self._tct = jnp.asarray(db.target_cand_tax(self.lowest_rank))
@@ -380,7 +460,8 @@ class QueryEngine:
                                    exclude_groups=exclude_groups)
         return self.materialize(out, n)
 
-    def _dispatch_tier(self, fused, exclude_groups, lmax: int):
+    def _dispatch_tier(self, fused, exclude_groups, lmax: int,
+                       direct_mb: int = 0):
         return _query_batch_device(
             jnp.asarray(fused),
             self._keys, self._offsets, self._loc_tgt, self._loc_win,
@@ -392,6 +473,7 @@ class QueryEngine:
             None if exclude_groups is None else self._target_groups,
             self._bucket_offsets,
             self._loc_packed,
+            self._start_tbl, self._cnt_tbl,
             k=self.sketch_params.kmer_size,
             sketch_size=self.sketch_params.sketch_size,
             window_size=self.sketch_params.window_size,
@@ -405,7 +487,8 @@ class QueryEngine:
             target_window_k=self.target_window_k,
             search_steps=self._search_steps,
             use_pallas_sketch=self._use_pallas,
-            win_bits=self._win_bits)
+            win_bits=self._win_bits, direct_mb=direct_mb,
+            slim_summary=bool(direct_mb > 0 and self._direct_exact))
 
     def dispatch_packed(self, p1, a1, lens1, p2, a2, lens2,
                         exclude_groups=None):
@@ -415,8 +498,15 @@ class QueryEngine:
         (src/querying.h:749-830). Runs the narrow fast-tier program;
         materialize() re-runs any overflowing reads at full capacity."""
         fused = fuse_host_inputs(p1, a1, lens1, p2, a2, lens2)
-        out = self._dispatch_tier(fused, exclude_groups, self.lmax_fast)
-        if self.lmax_fast < self.lmax_full:
+        out = self._dispatch_tier(fused, exclude_groups, self.lmax_fast,
+                                  direct_mb=self._direct_mb)
+        if self._direct_mb > 0 and self._direct_exact:
+            # the [2, B] slim summary omits the overflow row; it is
+            # provably all-zero in the exact direct tier (every feature's
+            # full location list fits the static per-feature cap)
+            out["_zero_overflow"] = True
+        if (self._direct_mb > 0 and not self._direct_exact) or \
+                (self._direct_mb == 0 and self.lmax_fast < self.lmax_full):
             out["_retier"] = (fused, None if exclude_groups is None
                               else np.asarray(exclude_groups))
         return out
@@ -434,7 +524,8 @@ class QueryEngine:
         retier = out.get("_retier")
         if retier is None:
             return res
-        ovf = np.asarray(_to_host(out["match_overflow"]))
+        ovf = np.asarray(_summary_host(out)[3] if "summary" in out
+                         else _to_host(out["match_overflow"]))
         rows = np.nonzero(ovf[:n] > 0)[0]
         if len(rows) == 0:
             return res
@@ -456,6 +547,30 @@ class QueryEngine:
                 self.lmax_full)
             res._patches.append((sel, out2))
         return res
+
+    def materialize_many(self, items) -> List[BatchResult]:
+        """Materialize several dispatched batches at once.
+
+        All pending summaries are stacked ON DEVICE and fetched in ONE
+        device->host transfer (each transfer costs a full round trip
+        through a tunneled TPU — the per-batch bottleneck, PERF.md); the
+        overflow re-runs of all batches are then dispatched together and
+        their summaries fetched in one more stacked transfer.
+
+        items: [(out, n), ...] as returned by dispatch_packed.
+        """
+        outs = [o for o, _ in items]
+        if outs and all("summary" in o for o in outs):
+            host = np.asarray(jnp.stack([o["summary"] for o in outs]))
+            for o, h in zip(outs, host):
+                o["_summary_host"] = h
+        results = [self.materialize(o, n) for (o, n) in items]
+        patches = [p for r in results for p in r._patches]
+        if patches and all("summary" in p[1] for p in patches):
+            ph = np.asarray(jnp.stack([p[1]["summary"] for p in patches]))
+            for (rows, pout), h in zip(patches, ph):
+                pout["_summary_host"] = h
+        return results
 
 
 def _rank_code(rank) -> int:

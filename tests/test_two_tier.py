@@ -42,11 +42,14 @@ def _batch(eng, genome, rng, n=32):
 def test_two_tier_equals_single_tier(crowded_db):
     db, genome, rng = crowded_db
     classify = ClassifyParams(lowest_rank="species")
+    # fast_bucket_cap=-1 pins the legacy LMAX-tier path (the direct path
+    # has its own tests in test_direct_lookup.py)
     mk = lambda fast: QueryEngine(
         db, classify,
         QueryPipelineParams(batch_size=32, max_query_len=128,
                             max_locations_per_query=2048,
-                            fast_locations_per_query=fast))
+                            fast_locations_per_query=fast,
+                            fast_bucket_cap=-1))
     tiered = mk(64)           # narrow fast tier -> overflow path exercised
     single = mk(2048)         # fast == full: plain single-tier
     assert tiered.lmax_fast == 64 and tiered.lmax_full == 2048
@@ -71,7 +74,8 @@ def test_auto_fast_tier_sizing(crowded_db):
     eng = QueryEngine(
         db, ClassifyParams(lowest_rank="species"),
         QueryPipelineParams(batch_size=32, max_query_len=128,
-                            max_locations_per_query=2048))
+                            max_locations_per_query=2048,
+                            fast_bucket_cap=-1))
     # mean bucket size ~8 (8 copies), 2 windows * 16 features * 2 mates:
     # auto sizing must pick >= the typical total and <= the full tier
     assert 64 <= eng.lmax_fast <= eng.lmax_full
