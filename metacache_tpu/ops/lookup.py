@@ -208,11 +208,14 @@ def lookup_matches_direct(features, keys, start_tbl, cnt_tbl, loc_tgt,
     cnt = jnp.where(found, cnt_tbl[idx], 0)
     cnt_c = jnp.minimum(cnt, mb)
 
-    j = jnp.arange(mb, dtype=jnp.int32)
-    li = start[:, :, None] + j[None, None, :]
-    valid = j[None, None, :] < cnt_c[:, :, None]
-    li = jnp.where(valid, li, 0).reshape(B, NF * mb)
-    validf = valid.reshape(B, NF * mb)
+    # slot emission as pure 2-D concatenation, j-major: block j holds every
+    # feature's (j+1)-th location. A [B, NF, mb] broadcast would force the
+    # minor dim 3 into either 42x tile padding or an S(1) linear layout
+    # (~0.5 GB/s staging — the round-2 hot spot); slot ORDER is irrelevant
+    # because the (tgt, win) sort below canonicalizes it.
+    li = jnp.concatenate([start + j for j in range(mb)], axis=1)
+    validf = jnp.concatenate([cnt_c > j for j in range(mb)], axis=1)
+    li = jnp.where(validf, li, 0)
     total = jnp.sum(cnt_c, axis=1)
     overflow = jnp.sum(cnt - cnt_c, axis=1)
 
