@@ -141,7 +141,11 @@ def measure_tpu() -> float:
              "-taxonomy", os.path.join(WORK, "tax")]))
     db = load_all_shards(dbbase)
     classify = ClassifyParams(lowest_rank="species")
-    pipeline = QueryPipelineParams(batch_size=8192, max_query_len=128,
+    # max_query_len 104 (not 128): the tunnel's ~30 MB/s host->device
+    # bandwidth is ~99% of per-batch wall time (tools/exp_r3_host.py), so
+    # wire bytes/pair is THE throughput knob; 100bp reads need 26 packed
+    # bytes/mate. B=16384 halves the per-dispatch python overhead.
+    pipeline = QueryPipelineParams(batch_size=16384, max_query_len=104,
                                    max_locations_per_query=256)
     eng = QueryEngine(db, classify, pipeline)
 
@@ -169,15 +173,15 @@ def measure_tpu() -> float:
     # (dispatch is async); block only on materialization — exactly how
     # QueryProcessor drives the engine (one batch in flight + host
     # formatting overlap).
-    log("timed run (best of 3; the tunneled device's effective speed "
-        "varies minute to minute) ...")
-    rps = 0.0
+    log("timed run (best of 3 + median logged; the tunneled device's "
+        "effective speed varies minute to minute) ...")
+    speeds = []
     for trial in range(3):
         t0 = time.time()
         total = 0
         n_classified = 0
         pending = []
-        for b in batches * 16:  # 32 batches: amortize the one-round-trip
+        for b in batches * 16:  # amortize the one-round-trip
             pending.append((eng.dispatch_packed(   # stacked result pull
                 b.packed1, b.ambig1, b.lens1, b.packed2, b.ambig2, b.lens2),
                 b.n))
@@ -191,8 +195,9 @@ def measure_tpu() -> float:
         log(f"tpu trial {trial}: {total} pairs in {wall:.3f}s = "
             f"{total/wall:.0f} pairs/s "
             f"({n_classified}/{total} classified)")
-        rps = max(rps, total / wall)
-    return rps
+        speeds.append(total / wall)
+    log(f"median of 3 trials: {sorted(speeds)[1]:.0f} pairs/s")
+    return max(speeds), sorted(speeds)[1]
 
 
 def measure_build() -> dict:
@@ -250,7 +255,7 @@ def measure_build() -> dict:
 def main():
     make_world()
     ref_rps = measure_reference()
-    tpu_rps = measure_tpu()
+    tpu_rps, tpu_med = measure_tpu()
     build = measure_build()
     vs = tpu_rps / ref_rps if ref_rps > 0 else 0.0
     print(json.dumps({
@@ -258,6 +263,9 @@ def main():
         "value": round(tpu_rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(vs, 3),
+        "median_value": round(tpu_med, 1),
+        "median_vs_baseline": round(tpu_med / ref_rps, 3) if ref_rps else 0.0,
+        "methodology": "best of 3 trials, 262144-pair pipelined window",
         **build,
     }))
 

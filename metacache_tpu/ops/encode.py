@@ -80,6 +80,37 @@ def unpack_codes(packed: jnp.ndarray, ambig: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(a == 1, jnp.uint8(AMBIG_CODE), c)
 
 
+def synth_ambig_from_lens(lens: jnp.ndarray, qlen: int) -> jnp.ndarray:
+    """Device-side ambiguity bitplane for reads KNOWN to contain no
+    ambiguous characters: only the padding positions (>= len) are marked.
+
+    This is the device half of the slim wire format (engine
+    fuse_host_inputs_slim): the host ships 2-bit packed bases + lengths
+    only; reads that DO contain ambiguous characters are detected host-side
+    and re-classified through the legacy program with their real bitplane.
+    Returns [B, qlen/8] uint8, bit b of byte i == position 8i+b >= len.
+    """
+    B = lens.shape[0]
+    byte_pos = jnp.arange(qlen // 8, dtype=jnp.int32) * 8
+    out = jnp.zeros((B, qlen // 8), dtype=jnp.uint8)
+    for b in range(8):
+        bit = (byte_pos[None, :] + b) >= lens[:, None]
+        out = out | (bit.astype(jnp.uint8) << b)
+    return out
+
+
+def np_rows_with_ambiguity(ambig: np.ndarray, lens: np.ndarray,
+                           qlen: int) -> np.ndarray:
+    """Host-side: boolean [B] — does row b have any ambiguity bit set at a
+    position < lens[b]? (Padding bits beyond the read length don't count:
+    np_pack_codes marks them, the native reader leaves them zero.)"""
+    if not ambig.any():
+        return np.zeros(ambig.shape[0], dtype=bool)
+    bits = np.unpackbits(ambig, axis=1, bitorder="little")[:, :qlen]
+    pos = np.arange(qlen)
+    return ((bits != 0) & (pos[None, :] < lens[:, None])).any(axis=1)
+
+
 # ---------------------------------------------------------------------------
 # windowing (host helper): start offsets of windows of a sequence
 # ---------------------------------------------------------------------------

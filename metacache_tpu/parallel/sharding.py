@@ -274,7 +274,7 @@ class ShardedQueryEngine:
                 # counts (each target's matches live wholly on one shard)
                 twh = jax.lax.psum(
                     target_window_hits(merged, tgt, win, twk), "shard")
-            return merged, best, best_rank, ovf, summary, twh
+            return merged, best, best_rank, tot, ovf, summary, twh
 
         mesh = self.mesh
         fn = jax.shard_map(
@@ -283,7 +283,7 @@ class ShardedQueryEngine:
                       P("shard"), P("shard"), P("shard"), P("shard"),
                       P("shard"), P("shard"), P("shard"), P("shard"),
                       P(), P(), P(), P(), P(), P()),
-            out_specs=(P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P(), P(), P()),
             check_vma=False)
         return jax.jit(fn)
 
@@ -327,7 +327,8 @@ class ShardedQueryEngine:
             else self._keys
         eg = put(exclude_groups) if with_excl else None
         tg = self._target_groups if with_excl else None
-        merged, best, best_rank, ovf, summary, twh = self._compiled[with_excl](
+        merged, best, best_rank, tot, ovf, summary, twh = \
+            self._compiled[with_excl](
             put(p1), put(a1), put(lens1),
             put(p2), put(a2), put(lens2),
             self._keys, self._offsets, self._loc_tgt, self._loc_win,
@@ -337,7 +338,8 @@ class ShardedQueryEngine:
             jnp.float32(self.classify.hits_diff_fraction),
             eg, tg)
         out = {"cand": merged, "best": best, "best_rank": best_rank,
-               "match_overflow": ovf, "summary": summary}
+               "match_total": tot, "match_overflow": ovf,
+               "summary": summary}
         if self._direct_mb:
             out["_zero_overflow"] = True
         if twh is not None:

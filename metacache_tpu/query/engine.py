@@ -192,13 +192,62 @@ def unfuse_device_inputs(fused, qlen: int):
     return p1, a1, l1, p2, a2, l2
 
 
+def fuse_host_inputs_slim(p1, l1, p2, l2, len_bytes: int) -> np.ndarray:
+    """Slim wire format: 2-bit packed bases + u8/u16 lengths ONLY — no
+    ambiguity bitplane (synthesized on device from the lengths,
+    ops.encode.synth_ambig_from_lens). 100bp pairs drop from 104 to 54
+    wire bytes; host<->device bandwidth is the end-to-end bottleneck
+    (~30 MB/s through the axon tunnel — ~99% of per-batch wall time,
+    tools/exp_r3_host.py). Reads WITH ambiguous characters are re-run
+    through the legacy program by QueryEngine.materialize."""
+    B = p1.shape[0]
+    dt = "<u1" if len_bytes == 1 else "<u2"
+    l1b = np.ascontiguousarray(l1.astype(dt)).view(np.uint8).reshape(
+        B, len_bytes)
+    l2b = np.ascontiguousarray(l2.astype(dt)).view(np.uint8).reshape(
+        B, len_bytes)
+    return np.concatenate([p1, p2, l1b, l2b], axis=1)
+
+
+def unfuse_device_inputs_slim(fused, qlen: int, len_bytes: int):
+    """Device-side inverse of fuse_host_inputs_slim; the ambiguity planes
+    are synthesized (padding-only) from the lengths."""
+    pw = qlen // 4
+    p1 = fused[:, :pw]
+    p2 = fused[:, pw:2 * pw]
+    o = 2 * pw
+    if len_bytes == 1:
+        l1 = fused[:, o].astype(jnp.int32)
+        l2 = fused[:, o + 1].astype(jnp.int32)
+    else:
+        l1 = (fused[:, o].astype(jnp.int32)
+              | (fused[:, o + 1].astype(jnp.int32) << 8))
+        l2 = (fused[:, o + 2].astype(jnp.int32)
+              | (fused[:, o + 3].astype(jnp.int32) << 8))
+    a1 = encode.synth_ambig_from_lens(l1, qlen)
+    a2 = encode.synth_ambig_from_lens(l2, qlen)
+    return p1, a1, l1, p2, a2, l2
+
+
+def pack_summary_word(best, best_rank):
+    """(rank << 26) | node in one int32 — halves (or quarters) the
+    per-batch result transfer. Valid while node indices stay < 2^26
+    (guarded by QueryEngine._pack_ok) and rank codes < 32."""
+    return (best_rank << 26) | best
+
+
+def unpack_summary_word(v: np.ndarray):
+    return (v & np.int32((1 << 26) - 1)).astype(np.int32), \
+        (v >> 26).astype(np.int32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "sketch_size", "window_size", "starts", "lmax",
                      "max_candidates", "highest_rank", "window_stride",
                      "insert_size_max", "target_window_k", "search_steps",
                      "use_pallas_sketch", "win_bits", "qlen", "direct_mb",
-                     "slim_summary"))
+                     "wire", "sfmt", "len_bytes"))
 def _query_batch_device(fused,
                         keys, offsets, loc_tgt, loc_win, target_cand_tax,
                         ranked_lineage, hits_min, hits_diff,
@@ -213,10 +262,15 @@ def _query_batch_device(fused,
                         search_steps: int = None,
                         use_pallas_sketch: bool = False,
                         win_bits: int = 0, direct_mb: int = 0,
-                        slim_summary: bool = False):
+                        wire: str = "legacy", sfmt: str = "s4",
+                        len_bytes: int = 1):
     """One fused device program: 2-bit-packed reads -> classification."""
-    packed1, ambig1, lens1, packed2, ambig2, lens2 = \
-        unfuse_device_inputs(fused, qlen)
+    if wire == "slim":
+        packed1, ambig1, lens1, packed2, ambig2, lens2 = \
+            unfuse_device_inputs_slim(fused, qlen, len_bytes)
+    else:
+        packed1, ambig1, lens1, packed2, ambig2, lens2 = \
+            unfuse_device_inputs(fused, qlen)
     cand, tgt, win, total, overflow = local_candidates(
         packed1, ambig1, lens1, packed2, ambig2, lens2,
         keys, offsets, loc_tgt, loc_win, target_cand_tax,
@@ -231,11 +285,15 @@ def _query_batch_device(fused,
         cand["tax"], cand["hits"], ranked_lineage, hits_min, hits_diff,
         highest_rank)
     # the default output path needs only these [B] vectors; stacking them
-    # lets BatchResult fetch them in ONE device->host transfer (transfers
-    # cost a full round trip + ~10 MB/s through a tunneled TPU, PERF.md).
-    # slim_summary (exact direct tier: overflow provably all-zero) halves
-    # the bytes by omitting the total/overflow rows.
-    if slim_summary:
+    # lets BatchResult fetch them in ONE device->host transfer, and the
+    # packed formats ("p1"/"p2") fold (rank << 26 | node) into a single
+    # int32 word per read — the result pull is on the tunnel-bandwidth
+    # critical path just like the input transfer.
+    if sfmt == "p1":        # exact direct tier: overflow provably zero
+        summary = pack_summary_word(best, best_rank)[None, :]
+    elif sfmt == "p2":
+        summary = jnp.stack([pack_summary_word(best, best_rank), overflow])
+    elif sfmt == "s2":
         summary = jnp.stack([best, best_rank])
     else:
         summary = jnp.stack([best, best_rank, total, overflow])
@@ -271,19 +329,16 @@ class BatchResult:
         "cand_tgt": ("cand", "tgt"),
         "target_window_hits": ("target_window_hits",),
     }
-    # rows of the fused [4, B] "summary" tensor — fetched together in one
-    # transfer when present (see _query_batch_device)
-    _SUMMARY_ROWS = {"best": 0, "best_rank": 1, "match_total": 2,
-                     "match_overflow": 3}
 
     def __init__(self, n: int, out: Dict, has_target_window_hits=False):
         self.n = n
         self._out = out
         self._has_twh = has_target_window_hits
         self._cache: Dict[str, Optional[np.ndarray]] = {}
-        # two-tier dispatch: [(row_indices, full-width out dict), ...] —
-        # rows that overflowed the fast program, re-classified at full
-        # capacity; their results overwrite the fast-tier rows on access
+        # patch tiers: [(row_indices, full-width out dict), ...] — rows
+        # re-classified through the legacy full-capacity program (fast-tier
+        # overflow, or ambiguous-character reads under the slim wire
+        # format); their results overwrite the fast-tier rows on access
         self._patches: List = []
 
     def __getattr__(self, name):
@@ -291,52 +346,76 @@ class BatchResult:
         if path is None:
             raise AttributeError(name)
         cache = self.__dict__["_cache"]
-        row = BatchResult._SUMMARY_ROWS.get(name)
+        if name in cache:
+            return cache[name]
         out = self.__dict__["_out"]
-        if row is not None and "summary" in out:
-            nrows = out["summary"].shape[0]
-            if name == "match_overflow" and nrows <= row and \
-                    out.get("_zero_overflow"):
-                # slim [2, B] summary: overflow is provably all-zero in the
-                # exact direct tier — synthesize instead of transferring
-                return cache.setdefault(name, np.zeros(
-                    out["summary"].shape[1], np.int32))
-            if row < nrows:
-                if name not in cache:
-                    v = np.array(_summary_host(out))
-                    for rows, patch_out in self.__dict__["_patches"]:
-                        v[:, rows] = _summary_host(patch_out)[:nrows,
-                                                              :len(rows)]
-                    for f, i in BatchResult._SUMMARY_ROWS.items():
-                        if i < nrows:
-                            cache[f] = v[i]
+        patches = self.__dict__["_patches"]
+        if "summary" in out and "_sum_done" not in cache:
+            d = _decode_summary_host(out)
+            if out.get("_zero_overflow") and "match_overflow" not in d:
+                # exact direct tier: overflow provably all-zero —
+                # synthesize instead of transferring
+                d["match_overflow"] = np.zeros(out["summary"].shape[-1],
+                                               np.int32)
+            if patches:
+                d = {f: np.array(v) for f, v in d.items()}
+                for rows, patch_out in patches:
+                    pd = _decode_summary_host(patch_out)
+                    for f in d:
+                        if f in pd:
+                            d[f][rows] = pd[f][:len(rows)]
+            cache.update(d)
+            cache["_sum_done"] = True
+            if name in cache:
                 return cache[name]
-            # fall through: field row not in the slim summary (match_total)
-            # -> legacy lazy pull below
-        if name not in cache:
-            if name == "target_window_hits" and not self._has_twh:
-                cache[name] = None
-            else:
-                v = self._out
-                for k in path:
-                    v = v[k]
-                v = _to_host(v)
-                if self.__dict__["_patches"]:
-                    v = np.array(v)
-                    for rows, patch_out in self.__dict__["_patches"]:
-                        pv = patch_out
-                        for k in path:
-                            pv = pv[k]
-                        v[rows] = _to_host(pv)[:len(rows)]
-                cache[name] = v
+        # lazy device pull (candidate tensors, match_total under packed
+        # summary formats, target_window_hits)
+        if name == "target_window_hits" and not self._has_twh:
+            cache[name] = None
+        else:
+            v = out
+            for k in path:
+                v = v[k]
+            v = _to_host(v)
+            if patches:
+                v = np.array(v)
+                for rows, patch_out in patches:
+                    pv = patch_out
+                    for k in path:
+                        pv = pv[k]
+                    v[rows] = _to_host(pv)[:len(rows)]
+            cache[name] = v
         return cache[name]
 
 
 def _summary_host(out) -> np.ndarray:
-    """Host copy of an out dict's [4, B] summary tensor, preferring one
+    """Host copy of an out dict's stacked summary tensor, preferring one
     pre-fetched by materialize_many's stacked transfer."""
     pre = out.get("_summary_host")
     return pre if pre is not None else _to_host(out["summary"])
+
+
+def _decode_summary_host(out) -> Dict[str, np.ndarray]:
+    """Decode an out dict's summary into named [B] host rows.
+
+    Formats (static "sfmt" of _query_batch_device):
+      p1: [1,B] (rank<<26|node)               — exact direct tier
+      p2: [2,B] (rank<<26|node), overflow
+      s2: [2,B] best, best_rank               — sharded direct tier
+      s4: [4,B] best, best_rank, total, overflow
+    """
+    v = _summary_host(out)
+    fmt = out.get("_sfmt") or {1: "p1", 2: "s2", 4: "s4"}[v.shape[0]]
+    d: Dict[str, np.ndarray] = {}
+    if fmt in ("p1", "p2"):
+        d["best"], d["best_rank"] = unpack_summary_word(v[0])
+        if fmt == "p2":
+            d["match_overflow"] = v[1]
+    else:
+        d["best"], d["best_rank"] = v[0], v[1]
+        if v.shape[0] >= 4:
+            d["match_total"], d["match_overflow"] = v[2], v[3]
+    return d
 
 
 def _to_host(arr) -> np.ndarray:
@@ -400,21 +479,39 @@ class QueryEngine:
 
         # direct fast-tier lookup: flat (start, cnt) tables + a static
         # per-feature location cap covering >=99.5% of stored locations
-        # (heavier buckets route their reads to the full-width re-run)
+        # (heavier buckets route their reads to the full-width re-run).
+        # The static match width NF*cap must stay within
+        # max_locations_per_query: a wider direct program would classify
+        # reads untruncated that a single-tier run truncates at lmax,
+        # silently changing the documented truncation contract (and the
+        # sharded engine applies the same guard, parallel/sharding.py).
         cap = pipeline.fast_bucket_cap
+        nf = 2 * len(self.starts) * p.sketch_size
+        cap_limit = max(1, self.lmax_full // nf)
         sizes = np.diff(np.asarray(offsets))
         max_bucket = int(sizes.max()) if len(sizes) else 0
         if cap == 0 and len(sizes):
-            if max_bucket <= 16:
+            if max_bucket <= min(16, cap_limit):
                 # small max bucket: cover it exactly — no overflow re-runs
                 # AND no synchronous per-batch overflow pull (a device->host
                 # round trip costs up to ~100 ms through a tunneled TPU)
                 cap = max_bucket
             else:
                 tot = float(sizes.sum())
-                for cap in (2, 4, 6, 8, 12, 16):
-                    if np.minimum(sizes, cap).sum() >= 0.995 * tot:
+                cap = -1
+                for c in (2, 4, 6, 8, 12, 16):
+                    if c > cap_limit:
                         break
+                    cap = c
+                    if np.minimum(sizes, c).sum() >= 0.995 * tot:
+                        break
+        elif cap > cap_limit:
+            import warnings
+            warnings.warn(
+                f"fast_bucket_cap {cap} exceeds max_locations_per_query/"
+                f"NF = {cap_limit}; disabling the direct fast tier to "
+                f"preserve the truncation contract")
+            cap = -1
         self._direct_mb = 0 if cap < 0 else int(min(cap, max(1, max_bucket)))
         self._direct_exact = self._direct_mb >= max_bucket
         self._start_tbl = jnp.asarray(offsets[:-1].astype(np.int32))
@@ -423,6 +520,19 @@ class QueryEngine:
         self._loc_packed = None if packed is None else jnp.asarray(packed)
         self._tct = jnp.asarray(db.target_cand_tax(self.lowest_rank))
         self._lineage = jnp.asarray(db.taxonomy.ranked_lineage)
+
+        # wire/summary formats: slim wire (no ambiguity plane, short
+        # lengths) + packed one-word summaries, both sized for the
+        # tunnel-bandwidth bottleneck. METACACHE_WIRE=legacy restores the
+        # round-2 format (bit-identical results either way — ambiguous
+        # reads re-run through the legacy program, tests/test_slim_wire).
+        qlen = pipeline.max_query_len
+        self._wire = "legacy" if os.environ.get(
+            "METACACHE_WIRE") == "legacy" or qlen % 8 != 0 else "slim"
+        self._len_bytes = 1 if qlen <= 255 else 2
+        n_nodes = int(db.taxonomy.ranked_lineage.shape[0])
+        n_ranks = int(db.taxonomy.ranked_lineage.shape[1])
+        self._pack_ok = n_nodes < (1 << 26) and n_ranks + 1 < 32
 
     # ------------------------------------------------------------- batching
     def make_host_buffers(self):
@@ -461,8 +571,9 @@ class QueryEngine:
         return self.materialize(out, n)
 
     def _dispatch_tier(self, fused, exclude_groups, lmax: int,
-                       direct_mb: int = 0):
-        return _query_batch_device(
+                       direct_mb: int = 0, wire: str = "legacy",
+                       sfmt: str = "s4"):
+        out = _query_batch_device(
             jnp.asarray(fused),
             self._keys, self._offsets, self._loc_tgt, self._loc_win,
             self._tct, self._lineage,
@@ -488,48 +599,62 @@ class QueryEngine:
             search_steps=self._search_steps,
             use_pallas_sketch=self._use_pallas,
             win_bits=self._win_bits, direct_mb=direct_mb,
-            slim_summary=bool(direct_mb > 0 and self._direct_exact))
+            wire=wire, sfmt=sfmt, len_bytes=self._len_bytes)
+        out["_sfmt"] = sfmt
+        return out
+
+    def _main_sfmt(self) -> str:
+        if not self._pack_ok:
+            return "s4"
+        if self._direct_mb > 0 and self._direct_exact:
+            return "p1"
+        return "p2"
 
     def dispatch_packed(self, p1, a1, lens1, p2, a2, lens2,
                         exclude_groups=None):
         """Enqueue the device program; returns on-device outputs without
         blocking (JAX dispatch is async), enabling host/device overlap —
         the TPU counterpart of the reference's reader/worker thread overlap
-        (src/querying.h:749-830). Runs the narrow fast-tier program;
-        materialize() re-runs any overflowing reads at full capacity."""
-        fused = fuse_host_inputs(p1, a1, lens1, p2, a2, lens2)
+        (src/querying.h:749-830). Runs the narrow fast-tier program over
+        the slim wire format; materialize() re-runs overflowing reads and
+        reads containing ambiguous characters at full legacy capacity."""
+        eg = None if exclude_groups is None else np.asarray(exclude_groups)
+        sfmt = self._main_sfmt()
+        if self._wire == "slim":
+            qlen = self.pipeline.max_query_len
+            fused = fuse_host_inputs_slim(p1, lens1, p2, lens2,
+                                          self._len_bytes)
+            ambig = np.zeros(p1.shape[0], bool)
+            if a1 is not None:
+                ambig |= encode.np_rows_with_ambiguity(a1, lens1, qlen)
+            if a2 is not None:
+                ambig |= encode.np_rows_with_ambiguity(a2, lens2, qlen)
+            ambig_rows = np.nonzero(ambig)[0]
+        else:
+            fused = fuse_host_inputs(p1, a1, lens1, p2, a2, lens2)
+            ambig_rows = np.zeros(0, np.int64)
         out = self._dispatch_tier(fused, exclude_groups, self.lmax_fast,
-                                  direct_mb=self._direct_mb)
+                                  direct_mb=self._direct_mb,
+                                  wire=self._wire, sfmt=sfmt)
         if self._direct_mb > 0 and self._direct_exact:
-            # the [2, B] slim summary omits the overflow row; it is
-            # provably all-zero in the exact direct tier (every feature's
-            # full location list fits the static per-feature cap)
+            # overflow is provably all-zero in the exact direct tier (every
+            # feature's full location list fits the static per-feature cap)
             out["_zero_overflow"] = True
-        if (self._direct_mb > 0 and not self._direct_exact) or \
-                (self._direct_mb == 0 and self.lmax_fast < self.lmax_full):
-            out["_retier"] = (fused, None if exclude_groups is None
-                              else np.asarray(exclude_groups))
+        out["_inputs"] = (p1, a1, lens1, p2, a2, lens2, eg)
+        out["_ambig_rows"] = ambig_rows
+        out["_need_overflow"] = (
+            (self._direct_mb > 0 and not self._direct_exact)
+            or (self._direct_mb == 0 and self.lmax_fast < self.lmax_full))
         return out
 
-    def materialize(self, out, n: int) -> BatchResult:
-        """Wrap a dispatched batch; fields transfer lazily on access.
-
-        Two-tier overflow handling: reads whose match count exceeded the
-        fast tier's capacity are re-classified through the full-width
-        program (same device function, larger static lmax) and their rows
-        patched into the result — so truncation only ever happens at
-        max_locations_per_query, exactly as in a single-tier run."""
-        res = BatchResult(n, out,
-                          has_target_window_hits=bool(self.target_window_k))
-        retier = out.get("_retier")
-        if retier is None:
-            return res
-        ovf = np.asarray(_summary_host(out)[3] if "summary" in out
-                         else _to_host(out["match_overflow"]))
-        rows = np.nonzero(ovf[:n] > 0)[0]
-        if len(rows) == 0:
-            return res
-        fused, eg = retier
+    def _legacy_rerun(self, res: BatchResult, out, rows: np.ndarray):
+        """Re-classify the given rows through the full-width legacy-wire
+        program and patch them into the result."""
+        p1, a1, lens1, p2, a2, lens2, eg = out["_inputs"]
+        if a1 is None or a2 is None:
+            # inputs arrived without ambiguity planes: synthesize empty
+            a1 = np.zeros((p1.shape[0], p1.shape[1] // 2), np.uint8)
+            a2 = np.zeros_like(a1)
         RB = self._rerun_batch
         for c0 in range(0, len(rows), RB):
             sel = rows[c0:c0 + RB]
@@ -542,10 +667,34 @@ class QueryEngine:
                         [s, np.zeros((pad,) + x.shape[1:], x.dtype)])
                 return s
 
+            fused2 = fuse_host_inputs(take(p1), take(a1), take(lens1),
+                                      take(p2), take(a2), take(lens2))
             out2 = self._dispatch_tier(
-                take(fused), None if eg is None else take(eg),
-                self.lmax_full)
+                fused2, None if eg is None else take(eg),
+                self.lmax_full, wire="legacy", sfmt="s4")
             res._patches.append((sel, out2))
+
+    def materialize(self, out, n: int) -> BatchResult:
+        """Wrap a dispatched batch; fields transfer lazily on access.
+
+        Patch tiers: reads whose match count exceeded the fast tier's
+        capacity — and, under the slim wire format, reads containing
+        ambiguous characters (whose bitplane was not shipped) — are
+        re-classified through the full-width legacy program and their rows
+        patched into the result, so truncation only ever happens at
+        max_locations_per_query, exactly as in a single-tier run."""
+        res = BatchResult(n, out,
+                          has_target_window_hits=bool(self.target_window_k))
+        rows = out.get("_ambig_rows")
+        rows = rows[rows < n] if rows is not None else np.zeros(0, np.int64)
+        if out.get("_need_overflow"):
+            ovf = _decode_summary_host(out).get("match_overflow")
+            if ovf is None:
+                ovf = np.asarray(_to_host(out["match_overflow"]))
+            orows = np.nonzero(np.asarray(ovf)[:n] > 0)[0]
+            rows = np.union1d(rows, orows)
+        if len(rows):
+            self._legacy_rerun(res, out, np.asarray(rows))
         return res
 
     def materialize_many(self, items) -> List[BatchResult]:
