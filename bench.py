@@ -144,8 +144,9 @@ def measure_tpu() -> float:
     # max_query_len 104 (not 128): the tunnel's ~30 MB/s host->device
     # bandwidth is ~99% of per-batch wall time (tools/exp_r3_host.py), so
     # wire bytes/pair is THE throughput knob; 100bp reads need 26 packed
-    # bytes/mate. B=16384 halves the per-dispatch python overhead.
-    pipeline = QueryPipelineParams(batch_size=16384, max_query_len=104,
+    # bytes/mate. (B=16384 was tried: the remote compile of that shape
+    # stalls for >25 min through the tunnel; 8192 compiles in ~2 min.)
+    pipeline = QueryPipelineParams(batch_size=8192, max_query_len=104,
                                    max_locations_per_query=256)
     eng = QueryEngine(db, classify, pipeline)
 
@@ -159,10 +160,18 @@ def measure_tpu() -> float:
         "files", pipeline.batch_size, pipeline.max_query_len))
 
     log("warmup/compile ...")
+    # First execution at queue depth ONE: the tunneled device pays a
+    # one-time program-load/autotune cost of minutes on the first
+    # execution, and queueing many executions behind it has been observed
+    # to wedge the tunnel service entirely (round-3 log). Load the program
+    # gently, then warm the full pipelined structure.
+    b0 = batches[0]
+    first = eng.dispatch_packed(b0.packed1, b0.ambig1, b0.lens1,
+                                b0.packed2, b0.ambig2, b0.lens2)
+    eng.materialize(first, b0.n).best
+    log("program loaded; pipelined warmup ...")
     # one full untimed pre-round with the SAME structure as the timed run
-    # (incl. the stacked-summary program of materialize_many): the first
-    # executions after a (remote) compile pay one-time program-load/
-    # autotune costs of several seconds
+    # (incl. the stacked-summary program of materialize_many)
     warm = [(eng.dispatch_packed(b.packed1, b.ambig1, b.lens1,
                                  b.packed2, b.ambig2, b.lens2), b.n)
             for b in batches * 16]
@@ -252,11 +261,214 @@ def measure_build() -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Realistic-scale workload: heavy-tailed bucket distribution (strain-shared
+# segments + a high-copy "transposon" element hitting the 254-location cap),
+# ~96 Mbp of genomes, 256k read pairs — the VERDICT round-2 requirement that
+# the direct-tier cap heuristic be validated under real overflow pressure.
+# ---------------------------------------------------------------------------
+BIG = "/tmp/mc_bench_big"
+BIG_BASES = 24          # base genomes
+BIG_VARIANTS = 4        # strains per base (incl. the base itself)
+BIG_GLEN = 1_000_000
+BIG_TP_LEN = 5_000      # transposon length
+BIG_TP_COPIES = 5       # insertions per genome (x96 genomes -> bucket 254 cap)
+BIG_PAIRS = 262_144
+
+_B = np.frombuffer(b"ACGT", np.uint8)
+
+
+def make_realistic_world():
+    os.makedirs(BIG, exist_ok=True)
+    marker = os.path.join(BIG, "world_ok")
+    if os.path.exists(marker):
+        return
+    log("generating realistic-scale world (~96 Mbp, 256k pairs) ...")
+    from tests import util_mockdata as mock
+    rng = np.random.default_rng(4242)
+    tp = rng.integers(0, 4, BIG_TP_LEN).astype(np.int8)
+    G = np.empty((BIG_BASES * BIG_VARIANTS, BIG_GLEN), np.int8)
+    gi = 0
+    for b in range(BIG_BASES):
+        base = rng.integers(0, 4, BIG_GLEN, dtype=np.int8)
+        for v in range(BIG_VARIANTS):
+            g = base.copy()
+            if v:
+                # strain: ~2% substitutions (uniform, like mock.mutate)
+                m = rng.random(BIG_GLEN) < 0.02
+                g[m] = rng.integers(0, 4, int(m.sum()), dtype=np.int8)
+            for _ in range(BIG_TP_COPIES):   # high-copy repeat element
+                p = int(rng.integers(0, BIG_GLEN - BIG_TP_LEN))
+                g[p:p + BIG_TP_LEN] = tp
+            G[gi] = g
+            gi += 1
+    nodes = [(1, 1, "no rank"), (2, 1, "superkingdom")]
+    names = {1: "root", 2: "Bacteria"}
+    for b in range(BIG_BASES):
+        genus = 10 + b // 3
+        if (genus, 2, "genus") not in nodes:
+            nodes.append((genus, 2, "genus"))
+            names[genus] = f"Genus{b // 3}"
+        nodes.append((100 + b, genus, "species"))
+        names[100 + b] = f"Species{b}"
+    mock.write_ncbi_taxonomy(os.path.join(BIG, "tax"), nodes, names)
+    with open(os.path.join(BIG, "genomes.fa"), "wb") as f:
+        for i in range(G.shape[0]):
+            sp = 100 + i // BIG_VARIANTS
+            f.write(f">NC_{i:06d}.1|taxid|{sp}| strain\n".encode())
+            f.write(_B[G[i]].tobytes())
+            f.write(b"\n")
+    # reads: vectorized sampling + mutation; 1/16 unclassifiable random
+    N = BIG_PAIRS
+    gsel = rng.integers(0, G.shape[0], N)
+    pos = rng.integers(0, BIG_GLEN - 400, N)
+    span = np.arange(100)
+    r1 = G[gsel[:, None], pos[:, None] + span[None, :]]
+    r2 = G[gsel[:, None], pos[:, None] + 250 + span[None, :]]
+    for r in (r1, r2):
+        m = rng.random(r.shape) < 0.015
+        r[m] = rng.integers(0, 4, int(m.sum()), dtype=np.int8)
+    rand_rows = np.nonzero(rng.random(N) < 1 / 16)[0]
+    r1[rand_rows] = rng.integers(0, 4, (len(rand_rows), 100), dtype=np.int8)
+    r2[rand_rows] = rng.integers(0, 4, (len(rand_rows), 100), dtype=np.int8)
+    a1, a2 = _B[r1], _B[r2]
+    for mate, arr in (("1", a1), ("2", a2)):
+        with open(os.path.join(BIG, f"reads_{mate}.fa"), "wb") as f:
+            for i in range(N):
+                f.write(b">p%d_NC_%06d.1/%s\n" % (i, gsel[i],
+                                                  mate.encode()))
+                f.write(arr[i].tobytes())
+                f.write(b"\n")
+    open(marker, "w").write("ok")
+
+
+def measure_realistic() -> dict:
+    """Build + query the realistic world on both sides; returns the
+    realistic_* metrics. Reference numbers are cached in BENCH_BASELINE."""
+    import time as _t
+    out = {}
+    ref = {}
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            ref = json.load(f)
+    refbin = "/tmp/refbuild/metacache_mpi2"
+    runstub = "/tmp/refbuild/run_stub.sh"
+    gbp = BIG_BASES * BIG_VARIANTS * BIG_GLEN / 1e9
+    if "realistic_ref_pairs_per_sec" not in ref and os.path.exists(refbin):
+        log("reference on realistic world (build + query) ...")
+        t0 = _t.time()
+        subprocess.run([runstub, "2", refbin, "build",
+                        os.path.join(BIG, "refdb"),
+                        os.path.join(BIG, "genomes.fa"),
+                        "-taxonomy", os.path.join(BIG, "tax")],
+                       capture_output=True, text=True)
+        ref["realistic_ref_build_gbps"] = round(gbp / (_t.time() - t0), 5)
+        t0 = _t.time()
+        subprocess.run([runstub, "2", refbin, "query",
+                        os.path.join(BIG, "refdb"),
+                        os.path.join(BIG, "reads_1.fa"),
+                        os.path.join(BIG, "reads_2.fa"),
+                        "-pairfiles", "-lowest", "species",
+                        "-query-limit", str(BIG_PAIRS),
+                        "-out", os.path.join(BIG, "ref_out.txt")],
+                       capture_output=True, text=True)
+        wall = _t.time() - t0
+        speed = None
+        try:
+            with open(os.path.join(BIG, "ref_out.txt")) as f:
+                for line in f:
+                    m = re.match(r"# speed:\s+([0-9.eE+]+) queries/min", line)
+                    if m:
+                        speed = float(m.group(1)) / 60.0 / 2.0
+        except OSError:
+            pass
+        ref["realistic_ref_pairs_per_sec"] = round(
+            speed if speed else BIG_PAIRS / wall, 1)
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(ref, f, indent=1)
+    # --- our side ---
+    from metacache_tpu.config import ClassifyParams, QueryPipelineParams
+    from metacache_tpu.modes.build import main_mode_build
+    from metacache_tpu.modes.query import load_all_shards
+    from metacache_tpu.utils import ArgsParser
+    from metacache_tpu.query.engine import QueryEngine
+    from metacache_tpu.native import NativeBatchReader
+    dbbase = os.path.join(BIG, "mydb")
+    t0 = _t.time()
+    for fn in os.listdir(BIG):
+        if fn.startswith("mydb"):
+            os.remove(os.path.join(BIG, fn))
+    main_mode_build(ArgsParser(
+        ["build", dbbase, os.path.join(BIG, "genomes.fa"),
+         "-taxonomy", os.path.join(BIG, "tax"), "-silent"]))
+    out["realistic_build_gbps"] = round(gbp / (_t.time() - t0), 5)
+    log(f"realistic build: {gbp:.3f} Gbp in {_t.time()-t0:.1f}s = "
+        f"{out['realistic_build_gbps']:.4f} Gbp/s")
+    db = load_all_shards(dbbase)
+    sizes = db.features.bucket_sizes()
+    log(f"realistic DB: {db.features.num_keys} features, "
+        f"{db.features.num_locations} locations, "
+        f"max bucket {int(sizes.max())}, mean {float(sizes.mean()):.2f}")
+    pipeline = QueryPipelineParams(batch_size=8192, max_query_len=104,
+                                   max_locations_per_query=256)
+    eng = QueryEngine(db, ClassifyParams(lowest_rank="species"), pipeline)
+    out["realistic_direct_mb"] = eng._direct_mb
+    batches = list(NativeBatchReader(
+        os.path.join(BIG, "reads_1.fa"), os.path.join(BIG, "reads_2.fa"),
+        "files", pipeline.batch_size, pipeline.max_query_len))
+    log(f"realistic query: {len(batches)} batches; warmup/compile ...")
+    b0 = batches[0]   # queue-depth-1 first execution (see measure_tpu)
+    eng.materialize(eng.dispatch_packed(
+        b0.packed1, b0.ambig1, b0.lens1, b0.packed2, b0.ambig2, b0.lens2),
+        b0.n).best
+    warm = [(eng.dispatch_packed(b.packed1, b.ambig1, b.lens1,
+                                 b.packed2, b.ambig2, b.lens2), b.n)
+            for b in batches[:8]]
+    for res in eng.materialize_many(warm):
+        res.best
+    speeds = []
+    overflow = rerun = 0
+    for trial in range(2):
+        t0 = _t.time()
+        total = 0
+        pending = [(eng.dispatch_packed(
+            b.packed1, b.ambig1, b.lens1, b.packed2, b.ambig2, b.lens2),
+            b.n) for b in batches]
+        results = eng.materialize_many(pending)
+        for res, (_, m) in zip(results, pending):
+            total += m
+            if trial == 0:
+                overflow += int((res.match_overflow[:m] > 0).sum())
+                rerun += sum(len(rows) for rows, _ in res._patches)
+        wall = _t.time() - t0
+        log(f"realistic trial {trial}: {total} pairs in {wall:.2f}s = "
+            f"{total/wall:.0f} pairs/s")
+        speeds.append(total / wall)
+    out["realistic_pairs_per_sec"] = round(max(speeds), 1)
+    out["realistic_overflow_reads"] = overflow
+    out["realistic_rerun_reads"] = rerun
+    out["realistic_rerun_rate"] = round(rerun / BIG_PAIRS, 5)
+    if ref.get("realistic_ref_pairs_per_sec"):
+        out["realistic_vs_baseline"] = round(
+            out["realistic_pairs_per_sec"]
+            / ref["realistic_ref_pairs_per_sec"], 3)
+    if ref.get("realistic_ref_build_gbps"):
+        out["realistic_build_vs_baseline"] = round(
+            out["realistic_build_gbps"] / ref["realistic_ref_build_gbps"], 3)
+    return out
+
+
 def main():
     make_world()
     ref_rps = measure_reference()
     tpu_rps, tpu_med = measure_tpu()
     build = measure_build()
+    if os.environ.get("METACACHE_BENCH_BIG", "1") != "0":
+        try:
+            make_realistic_world()
+            build.update(measure_realistic())
+        except Exception as e:
+            log(f"realistic workload failed: {type(e).__name__}: {e}")
     vs = tpu_rps / ref_rps if ref_rps > 0 else 0.0
     print(json.dumps({
         "metric": "reads_classified_per_sec_per_chip",

@@ -150,6 +150,56 @@ class WindowBatcher:
                          w.astype(np.int32))
 
 
+def _native_sketch_path(path, p: SketchParams, triples, taxonomy,
+                        target_nodes: List[int], seen_names, seq2taxid,
+                        num_shards: int, shard_id: int, progress) -> bool:
+    """Parse + sketch one input file through the native C++ hot loop
+    (native.sketch_file: bit-identical to the device sketch pipeline,
+    tests/test_native_sketch.py). Returns False to fall back to the
+    python/device path: native unavailable, params out of native range, or
+    the file contains records the python loop would SKIP (empty sequences /
+    duplicate ids) — skipping shifts target numbering, which the native
+    pass assigned up front."""
+    if os.environ.get("METACACHE_NO_NATIVE_BUILD"):
+        return False
+    from .. import native
+    try:
+        res = native.sketch_file(path, p.kmer_size, p.sketch_size,
+                                 p.window_size, p.window_stride,
+                                 t0=len(target_nodes),
+                                 num_shards=num_shards, shard_id=shard_id)
+    except RuntimeError:
+        raise  # malformed file: report like FormatError (caller catches)
+    if res is None:
+        return False
+    sids = []
+    batch_seen = set()
+    for i, header in enumerate(res.headers):
+        sid = sequence_io.extract_accession_string(header) \
+            or header.split(" ")[0] or header
+        if res.seq_lens[i] == 0 or sid in seen_names or sid in batch_seen:
+            return False  # rare: python loop handles renumbering
+        batch_seen.add(sid)
+        sids.append(sid)
+    for i, (header, sid) in enumerate(zip(res.headers, sids)):
+        seen_names.add(sid)
+        tgt = len(target_nodes)
+        parent = resolve_parent_taxid(header, seq2taxid, taxonomy)
+        # source_windows only for shard-owned targets, matching the
+        # python/device loop (non-owned targets record 0 windows)
+        owned = tgt % num_shards == shard_id
+        node = taxonomy.add_node(
+            -(tgt + 1), parent if parent else NONE_TAXID, sid,
+            Rank.SEQUENCE, source_filename=path, source_index=i + 1,
+            source_windows=int(res.seq_windows[i]) if owned else 0)
+        target_nodes.append(node)
+        if progress:
+            progress(path, tgt)
+    if len(res.feat):
+        triples.add(res.feat, res.tgt, res.win)
+    return True
+
+
 @dataclasses.dataclass
 class BuildOptions:
     """mode_build options (src/mode_build.cpp:63-138)."""
@@ -230,6 +280,10 @@ def build_database(infiles: Sequence[str], opt: BuildOptions,
     seen_names = set()
     for path in files:
         try:
+            if _native_sketch_path(path, p, triples, taxonomy, target_nodes,
+                                   seen_names, seq2taxid, num_shards,
+                                   shard_id, progress):
+                continue
             records = sequence_io.read_sequences(path)
             for rec in records:
                 sid = sequence_io.extract_accession_string(rec.header) \
@@ -252,7 +306,7 @@ def build_database(infiles: Sequence[str], opt: BuildOptions,
                 target_nodes.append(node)
                 if progress:
                     progress(path, tgt)
-        except sequence_io.FormatError as e:
+        except (sequence_io.FormatError, RuntimeError) as e:
             # per-file errors are caught and logged (mode_build.cpp:630-643)
             print(f"FAIL: {path}: {e}")
     batcher.finish()
@@ -296,7 +350,15 @@ def build_database_from_records(records, params: BuildParams = None,
     if not taxonomy.node_of_id(1):
         taxonomy.add_node(1, 1, "root", Rank.ROOT)
     triples = ChunkedTripleSorter()
-    batcher = WindowBatcher(p, triples)
+    records = list(records)
+    sk = None
+    if not os.environ.get("METACACHE_NO_NATIVE_BUILD"):
+        from .. import native
+        sk = native.sketch_sequences(
+            [seq.encode() for _, seq in records], p.kmer_size,
+            p.sketch_size, p.window_size, p.window_stride, t0=0,
+            num_shards=num_shards, shard_id=shard_id)
+    batcher = None if sk is not None else WindowBatcher(p, triples)
     target_nodes: List[int] = []
     for header, seq in records:
         sid = sequence_io.extract_accession_string(header) \
@@ -305,13 +367,20 @@ def build_database_from_records(records, params: BuildParams = None,
         parent = sequence_io.extract_taxon_id(header)
         windows = 0
         if tgt % num_shards == shard_id:
-            codes = encode.np_encode_bytes(
-                np.frombuffer(seq.encode(), dtype=np.uint8))
-            windows = batcher.add_sequence(codes, tgt)
+            if sk is not None:
+                windows = int(sk.seq_windows[tgt])
+            else:
+                codes = encode.np_encode_bytes(
+                    np.frombuffer(seq.encode(), dtype=np.uint8))
+                windows = batcher.add_sequence(codes, tgt)
         node = taxonomy.add_node(-(tgt + 1), parent or NONE_TAXID, sid,
                                  Rank.SEQUENCE, source_windows=windows)
         target_nodes.append(node)
-    batcher.finish()
+    if sk is not None:
+        if len(sk.feat):
+            triples.add(sk.feat, sk.tgt, sk.win)
+    else:
+        batcher.finish()
     ft = triples.finalize(params.max_locations_per_feature)
     return Database(
         sketch_params=p, query_sketch_params=p,

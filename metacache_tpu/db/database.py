@@ -89,6 +89,26 @@ class Database:
             self.features, removed = self.features.remove_overpopulated(max_locs)
         return removed
 
+    #: uint8 location-list size type minus the fill slot
+    #: (max_supported_locations_per_feature, src/sketch_database.h:375-378)
+    MAX_SUPPORTED_LOCS_PER_FEATURE = 254
+
+    def set_max_locations_per_feature(self, n: int) -> None:
+        """Re-set the per-feature location cap, shrinking existing buckets
+        when lowered — the reference's query-time DB tuning entry point
+        (sketch_database::max_locations_per_feature(n),
+        src/sketch_database.h:356-368; applied from mode_query.cpp:371-378).
+        n < 0 mirrors the reference's unsigned wrap: clamps to the
+        supported maximum."""
+        lim = Database.MAX_SUPPORTED_LOCS_PER_FEATURE
+        if n < 0 or n >= lim:
+            n = lim
+        elif n < 1:
+            n = 1
+        if n < self.max_locations_per_feature:
+            self.features = self.features.cap_locations(n)
+        self.max_locations_per_feature = n
+
     def remove_ambiguous_features(self, rank: int, max_ambig: int) -> int:
         if len(self.taxonomy) <= 1:
             raise RuntimeError("no taxonomy available!")
@@ -127,7 +147,9 @@ class Database:
         }
         tax_arrays = {f"tax_{k}": v for k, v in
                       self.taxonomy.to_arrays().items()}
-        np.savez_compressed(
+        # uncompressed: zlib costs seconds per 100 MB and dominates build
+        # wall time on fast disks; the 2-bit-dense arrays barely compress
+        np.savez(
             path,
             header=np.frombuffer(json.dumps(header).encode(), dtype=np.uint8),
             keys=self.features.keys,

@@ -82,12 +82,27 @@ class FeatureTable:
         t = targets[order]
         w = windows[order]
 
-        keys, run_starts, counts = np.unique(f, return_index=True,
-                                             return_counts=True)
+        # runs of the (already sorted) feature array — np.unique would
+        # sort a second time
+        if len(f):
+            brk = np.empty(len(f), dtype=bool)
+            brk[0] = True
+            np.not_equal(f[1:], f[:-1], out=brk[1:])
+            run_starts = np.nonzero(brk)[0]
+            keys = f[run_starts]
+            counts = np.diff(np.append(run_starts, len(f)))
+        else:
+            keys = f
+            run_starts = np.zeros(0, np.int64)
+            counts = np.zeros(0, np.int64)
         # cap each run at max_locs_per_feature, keeping the first entries
         capped = np.minimum(counts, max_locs_per_feature)
         offsets = np.zeros(len(keys) + 1, dtype=np.int64)
         np.cumsum(capped, out=offsets[1:])
+        if len(f) and capped[-1] == counts[-1] and offsets[-1] == len(f):
+            # nothing capped: the sorted arrays ARE the location arrays
+            return cls(keys=keys.astype(np.uint32), offsets=offsets,
+                       loc_tgt=t, loc_win=w)
         # gather kept entries: for run i, indices run_starts[i] + [0, capped[i])
         idx = _run_local_indices(run_starts, capped) if len(keys) else \
             np.zeros(0, np.int64)
@@ -169,6 +184,21 @@ class FeatureTable:
         distinct = np.bincount(fo[newpair], minlength=self.num_keys)
         mask = distinct > max_groups
         return self._filter_runs(~mask), int(mask.sum())
+
+    def cap_locations(self, max_locs: int) -> "FeatureTable":
+        """Truncate every run to its first `max_locs` locations — the
+        shrink loop of the reference's max_locations_per_feature setter
+        (src/sketch_database.h:356-368)."""
+        sizes = self.bucket_sizes()
+        if not len(sizes) or int(sizes.max()) <= max_locs:
+            return self
+        capped = np.minimum(sizes, max_locs)
+        offsets = np.zeros(self.num_keys + 1, dtype=np.int64)
+        np.cumsum(capped, out=offsets[1:])
+        idx = _run_local_indices(self.offsets[:-1], capped)
+        return FeatureTable(keys=self.keys, offsets=offsets,
+                            loc_tgt=self.loc_tgt[idx],
+                            loc_win=self.loc_win[idx])
 
     def _filter_runs(self, keep: np.ndarray) -> "FeatureTable":
         sizes = self.bucket_sizes()

@@ -49,6 +49,13 @@ class QueryModeOptions:
         default_factory=out_mod.OutputOptions)
     pipeline: QueryPipelineParams = dataclasses.field(
         default_factory=QueryPipelineParams)
+    # query-time database tuning (database_query_options,
+    # src/query_options.cpp:41-66; applied in mode_query.cpp:354-388)
+    max_locations_per_feature: int = -1
+    remove_overpopulated_features: bool = False
+    db_sketch_len: int = -1
+    db_win_len: int = -1
+    db_win_stride: int = -1
 
 
 def get_query_options(args: ArgsParser, defaults: QueryModeOptions = None
@@ -120,8 +127,38 @@ def get_query_options(args: ArgsParser, defaults: QueryModeOptions = None
     if e.exclude_rank != Rank.NONE:
         e.determine_ground_truth = True
 
+    # query-time database tuning (src/query_options.cpp:47-61)
+    opt.max_locations_per_feature = args.get(
+        ["max-locations-per-feature", "max_locations_per_feature"],
+        opt.max_locations_per_feature, int)
+    opt.remove_overpopulated_features = opt.remove_overpopulated_features \
+        or args.contains(["remove-overpopulated-features",
+                          "remove_overpopulated_features"])
+    opt.db_sketch_len = args.get("sketchlen", opt.db_sketch_len, int)
+    opt.db_win_len = args.get("winlen", opt.db_win_len, int)
+    opt.db_win_stride = args.get(
+        "winstride", opt.db_win_len if opt.db_win_len > 0
+        else opt.db_win_stride, int)
+    # accepted-and-ignored for reference cluster-script compatibility:
+    # hash-table load factor and per-thread queueing have no analogue in
+    # the dense-table / batched-device design (query_options.cpp:63-66,
+    # :100-103)
+    args.get(["max-load-fac", "max_load_fac", "maxloadfac"], -1.0, float)
+    args.get(["per-thread-sequential-queries",
+              "per_thread_sequential_queries"], -1, int)
+
     o = opt.output
+    o.format.comment = args.get("comment", o.format.comment)
     o.format.column = args.get("separator", o.format.column)
+    if args.contains(["separate-cols", "separatecols", "separate_cols",
+                      "separate-columns", "separatecolumns",
+                      "separate_columns"]):
+        # rank/name/taxid into separate columns (query_options.cpp:235-247)
+        o.collapse_unclassified = False
+        o.format.tax_separator = o.format.column
+        o.format.rank_suffix = o.format.column
+        o.format.taxid_prefix = o.format.column
+        o.format.taxid_suffix = ""
     o.show_query_ids = o.show_query_ids or args.contains(
         ["queryids", "query-ids", "query_ids"])
     o.lowest_rank = opt.classify.lowest_rank
@@ -674,6 +711,8 @@ def main_mode_query(args: ArgsParser) -> int:
             shard_path(dbname, s))]
         if not missing and len(devices) > 1:
             shards = [Database.load(dbname, s) for s in want]
+            for sh in shards:   # per-rank tuning (mode_query.cpp:354-388)
+                _apply_database_tuning(opt, sh)
             db = shards[0]
             _adapt_options_to_database(opt, db)
             twk = 16 if opt.output.show_hits_per_target_list else 0
@@ -690,6 +729,7 @@ def main_mode_query(args: ArgsParser) -> int:
                   file=sys.stderr)
     if engine is None:
         db = load_all_shards(dbname)
+        _apply_database_tuning(opt, db)
         _adapt_options_to_database(opt, db)
 
     if opt.output.show_db_properties:
@@ -701,7 +741,15 @@ def main_mode_query(args: ArgsParser) -> int:
 
     if opt.output.split_files and opt.output.query_mappings_file:
         # one output (and stats) per input file / file pair
-        # (mode_query.cpp:55-143 splitout handling)
+        # (mode_query.cpp:55-143 splitout handling). ONE engine serves
+        # every group: per-group QueryProcessors only reset the host-side
+        # statistics — re-creating the engine would re-upload the whole
+        # database per group (the loaded DB is what the reference's REPL
+        # and splitout exist to amortize, mode_query.cpp:269-315).
+        if engine is None:
+            twk = 16 if opt.output.show_hits_per_target_list else 0
+            engine = QueryEngine(db, opt.classify, opt.pipeline,
+                                 target_window_k=twk)
         prefix = opt.output.query_mappings_file
         step = 2 if opt.pairing == "files" else 1
         files = sorted(expanded) if opt.pairing == "files" else expanded
@@ -745,9 +793,18 @@ def _expand_files(infiles: List[str]) -> List[str]:
 
 def run_interactive_query_mode(dbname: str, init_args: ArgsParser) -> int:
     """Primitive REPL for repeated querying with one loaded database
-    (run_interactive_query_mode, src/mode_query.cpp:269-315)."""
+    (run_interactive_query_mode, src/mode_query.cpp:269-315).
+
+    The engine (device-resident DB arrays + compiled pipeline) is cached
+    across lines and only rebuilt when a line changes options that shape
+    the device program — the loaded DB is exactly what the reference's
+    REPL exists to amortize. Database tuning flags apply once, from the
+    initial command line (read_database consumes them before the REPL
+    starts, mode_query.cpp:331-395)."""
     db = load_all_shards(dbname)
+    _apply_database_tuning(get_query_options(init_args), db)
     init_argv = ["query", dbname]
+    engine_cache: Dict[tuple, QueryEngine] = {}
     while True:
         try:
             line = input("$> ")
@@ -767,7 +824,17 @@ def run_interactive_query_mode(dbname: str, init_args: ArgsParser) -> int:
         if opt.pairing == "files":
             files = sorted(files)
         try:
-            proc = QueryProcessor(db, opt)
+            twk = 16 if opt.output.show_hits_per_target_list else 0
+            key = (dataclasses.astuple(opt.classify),
+                   dataclasses.astuple(opt.pipeline), twk)
+            engine = engine_cache.get(key)
+            if engine is None:
+                engine = QueryEngine(db, opt.classify, opt.pipeline,
+                                     target_window_k=twk)
+                engine_cache[key] = engine
+            else:
+                print("(reusing loaded engine)", file=sys.stderr)
+            proc = QueryProcessor(db, opt, engine=engine)
             outfile = opt.output.query_mappings_file
             out = open(outfile, "w") if outfile else sys.stdout
             try:
@@ -781,8 +848,43 @@ def run_interactive_query_mode(dbname: str, init_args: ArgsParser) -> int:
                 print(e, file=sys.stderr)
 
 
+def _apply_database_tuning(opt: QueryModeOptions, db: Database):
+    """Query-time database re-parameterization (mode_query.cpp:354-388):
+    -remove-overpopulated-features / -max-locations-per-feature apply
+    maintenance at load; -sketchlen/-winlen/-winstride override the QUERY
+    sketcher only (the stored target sketches are untouched)."""
+    if opt.remove_overpopulated_features:
+        old = db.features.num_keys
+        maxlpf = opt.max_locations_per_feature - 1
+        lim = Database.MAX_SUPPORTED_LOCS_PER_FEATURE
+        if maxlpf < 0 or maxlpf >= lim:
+            maxlpf = lim - 1
+        maxlpf = min(maxlpf, db.max_locations_per_feature - 1)
+        if maxlpf > 0:  # always keep buckets with size 1
+            print(f"\nRemoving features with more than {maxlpf} "
+                  f"locations... ", file=sys.stderr, end="")
+            rem = db.remove_overpopulated_features(maxlpf)
+            print(f"{rem} of {old} removed.", file=sys.stderr)
+        # in case the new max is less than the database setting
+        db.set_max_locations_per_feature(opt.max_locations_per_feature)
+    elif opt.max_locations_per_feature > 1:
+        db.set_max_locations_per_feature(opt.max_locations_per_feature)
+        print(f"max locations per feature set to "
+              f"{opt.max_locations_per_feature}", file=sys.stderr)
+    qp = db.query_sketch_params
+    if opt.db_win_len > 0:
+        qp = dataclasses.replace(qp, window_size=opt.db_win_len)
+    if opt.db_win_stride > 0:
+        qp = dataclasses.replace(qp, window_stride=opt.db_win_stride)
+    if opt.db_sketch_len > 0:
+        qp = dataclasses.replace(qp, sketch_size=opt.db_sketch_len)
+    db.query_sketch_params = qp
+
+
 def _adapt_options_to_database(opt: QueryModeOptions, db: Database):
-    """hitsMin deduction from sketch size (src/mode_query.cpp:247-260)."""
+    """hitsMin deduction from the TARGET sketcher's sketch size — not the
+    query sketcher, so a -sketchlen override leaves the threshold unchanged
+    (src/mode_query.cpp:247-260: db.target_sketcher().sketch_size())."""
     resolved = opt.classify.resolved_hits_min(
-        db.query_sketch_params.sketch_size)
+        db.sketch_params.sketch_size)
     opt.classify = dataclasses.replace(opt.classify, hits_min=resolved)

@@ -30,7 +30,7 @@ PAIRING_CODE = {"none": 0, "": 0, None: 0, "files": 1, "sequences": 2}
 
 def _compile() -> bool:
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-           "-o", _LIB + ".tmp", "-lz"]
+           "-o", _LIB + ".tmp", "-lz", "-lpthread"]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
     except (OSError, subprocess.TimeoutExpired):
@@ -81,6 +81,25 @@ def load_mcio():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p]
+        lib.mcio_sketch_file.restype = ctypes.c_void_p
+        lib.mcio_sketch_file.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int]
+        lib.mcio_sketch_many.restype = ctypes.c_void_p
+        lib.mcio_sketch_many.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int]
+        lib.mcio_sk_counts.restype = None
+        lib.mcio_sk_counts.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 3
+        lib.mcio_sk_fetch.restype = None
+        lib.mcio_sk_fetch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64] + [ctypes.c_void_p] * 7
+        lib.mcio_sk_error.restype = ctypes.c_char_p
+        lib.mcio_sk_error.argtypes = [ctypes.c_void_p]
+        lib.mcio_sk_free.restype = None
+        lib.mcio_sk_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -175,6 +194,94 @@ class NativeBatchReader:
             self.close()
         except Exception:
             pass
+
+
+class SketchedFile:
+    """Result of a native parse+sketch pass over one input file.
+
+    feat/tgt/win are the (feature, target, window) triples of the
+    shard-owned records, in (target asc, window asc, hash asc) order —
+    exactly the insertion order of the reference build
+    (add_all_window_sketches, src/sketch_database.h:1079-1097).
+    headers/seq_lens/seq_windows cover ALL records of the file.
+    """
+
+    __slots__ = ("feat", "tgt", "win", "headers", "seq_lens", "seq_windows")
+
+    def __init__(self, feat, tgt, win, headers, seq_lens, seq_windows):
+        self.feat, self.tgt, self.win = feat, tgt, win
+        self.headers: Optional[List[str]] = headers
+        self.seq_lens = seq_lens
+        self.seq_windows = seq_windows
+
+
+def _fetch_sketch_result(lib, handle, t0: int, want_headers: bool):
+    import ctypes as ct
+    err = lib.mcio_sk_error(handle)
+    if err:
+        lib.mcio_sk_free(handle)
+        raise RuntimeError(err.decode())
+    n_rec, n_tri, hdr_b = ct.c_int64(), ct.c_int64(), ct.c_int64()
+    lib.mcio_sk_counts(handle, ct.byref(n_rec), ct.byref(n_tri),
+                       ct.byref(hdr_b))
+    n, t = n_rec.value, n_tri.value
+    feat = np.zeros(t, np.uint32)
+    tgt = np.zeros(t, np.int32)
+    win = np.zeros(t, np.int32)
+    hdr = np.zeros(hdr_b.value, np.uint8) if want_headers else None
+    off = np.zeros(n + 1, np.int64) if want_headers else None
+    lens = np.zeros(n, np.int64)
+    wins = np.zeros(n, np.int32)
+    lib.mcio_sk_fetch(handle, t0, feat.ctypes.data, tgt.ctypes.data,
+                      win.ctypes.data,
+                      hdr.ctypes.data if hdr is not None else None,
+                      off.ctypes.data if off is not None else None,
+                      lens.ctypes.data, wins.ctypes.data)
+    lib.mcio_sk_free(handle)
+    headers = None
+    if want_headers:
+        hb = hdr.tobytes()
+        headers = [hb[off[i]:off[i + 1]].decode("utf-8", "replace")
+                   for i in range(n)]
+    return SketchedFile(feat, tgt, win, headers, lens, wins)
+
+
+def sketch_file(path: str, k: int, s: int, window: int, stride: int,
+                t0: int, num_shards: int = 1, shard_id: int = 0,
+                threads: int = 0) -> Optional[SketchedFile]:
+    """Parse + sketch one FASTA/FASTQ file natively (build hot loop).
+
+    Returns None when the native library is unavailable or the file can't
+    be opened / params are out of range; raises RuntimeError on malformed
+    content (mirroring io.sequence_io.FormatError conditions)."""
+    lib = load_mcio()
+    if lib is None or s > 64 or not (1 <= k <= 16):
+        return None
+    h = lib.mcio_sketch_file(path.encode(), k, s, window, stride,
+                             t0, num_shards, shard_id, threads)
+    if not h:
+        return None
+    return _fetch_sketch_result(lib, h, t0, want_headers=True)
+
+
+def sketch_sequences(seqs: List[bytes], k: int, s: int, window: int,
+                     stride: int, t0: int, num_shards: int = 1,
+                     shard_id: int = 0,
+                     threads: int = 0) -> Optional[SketchedFile]:
+    """Sketch pre-parsed sequences natively (build_database_from_records)."""
+    lib = load_mcio()
+    if lib is None or s > 64 or not (1 <= k <= 16):
+        return None
+    flat = b"".join(seqs)
+    buf = np.frombuffer(flat, np.uint8) if flat else np.zeros(0, np.uint8)
+    off = np.zeros(len(seqs) + 1, np.int64)
+    np.cumsum([len(x) for x in seqs], out=off[1:])
+    h = lib.mcio_sketch_many(buf.ctypes.data if len(flat) else None,
+                             off.ctypes.data, len(seqs), k, s, window,
+                             stride, t0, num_shards, shard_id, threads)
+    if not h:
+        return None
+    return _fetch_sketch_result(lib, h, t0, want_headers=False)
 
 
 def encode_batch(seqs: List[bytes], max_len: int):

@@ -24,12 +24,14 @@
 //     (src/sequence_io.cpp:397-520); mode "files" is handled by the caller
 //     driving two handles in lock-step.
 //
-// Build: g++ -O3 -shared -fPIC mcio.cpp -o libmcio.so -lz
+// Build: g++ -O3 -shared -fPIC mcio.cpp -o libmcio.so -lz -lpthread
 #include <zlib.h>
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -367,6 +369,277 @@ const char* mcio_error(void* vh) {
 }
 
 void mcio_close(void* vh) { delete (Handle*)vh; }
+
+}  // extern "C"
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Native build sketcher: the host hot loop of database construction
+// (reference: add_all_window_sketches, src/sketch_database.h:1079-1097 +
+// the min-hasher, src/hash_dna.h:115-152). Behavior is bit-identical to
+// metacache_tpu.ops.sketch.sketch_windows (tested by
+// tests/test_native_sketch.py): for every window (length `win`, stride
+// `stride`, tail window included, src/dna_encoding.h:261-276) keep the s
+// smallest UNIQUE thomas-mueller hashes of the window's canonical kmers,
+// emitted in ascending order; 0xFFFFFFFF never enters a sketch.
+//
+// The device bulk-sketch path (ops/sketch_bulk.py) is the TPU-native
+// equivalent; this host path exists because shipping whole genomes through
+// a tunneled (remote) device costs more than sketching them on the host.
+
+int64_t num_windows_of(int64_t L, int64_t win, int64_t stride) {
+    if (L <= win) return 1;
+    int64_t n_full = (L - win) / stride + 1;
+    return n_full + (n_full * stride < L ? 1 : 0);
+}
+
+inline uint32_t thomas_mueller(uint32_t x) {
+    x = ((x >> 16) ^ x) * 0x45D9F3Bu;
+    x = ((x >> 16) ^ x) * 0x45D9F3Bu;
+    x = (x >> 16) ^ x;
+    return x;
+}
+
+// Sketch one sequence; append (feature, window) pairs.
+// codes: scratch reused across calls. Returns number of windows.
+int64_t sketch_one(const uint8_t* data, int64_t L, int k, int s, int win,
+                   int stride, std::vector<uint8_t>& codes,
+                   std::vector<uint32_t>& hashes,
+                   std::vector<uint32_t>& out_feat,
+                   std::vector<int32_t>& out_win) {
+    codes.resize((size_t)L);
+    for (int64_t i = 0; i < L; ++i) codes[(size_t)i] = kLut.v[data[i]];
+
+    // canonical kmer hash at every start position (or ~0 when the kmer
+    // spans an ambiguous char); one rolling pass over the sequence
+    int64_t n_kmer = L - k + 1;
+    hashes.assign(n_kmer > 0 ? (size_t)n_kmer : 0, 0xFFFFFFFFu);
+    if (n_kmer > 0) {
+        const uint32_t mask = (k == 16) ? 0xFFFFFFFFu
+                                        : ((1u << (2 * k)) - 1u);
+        const int rc_shift = 2 * (k - 1);
+        uint32_t kmer = 0, rc = 0;
+        int since = 0;
+        for (int64_t i = 0; i < L; ++i) {
+            uint8_t c = codes[(size_t)i];
+            if (c > 3) {
+                since = 0;
+                continue;
+            }
+            ++since;
+            kmer = ((kmer << 2) | c) & mask;
+            rc = (rc >> 2) | ((uint32_t)(3 - c) << rc_shift);
+            if (since >= k) {
+                uint32_t canon = kmer < rc ? kmer : rc;
+                hashes[(size_t)(i - k + 1)] = thomas_mueller(canon);
+            }
+        }
+    }
+
+    int64_t nw = num_windows_of(L, win, stride);
+    uint32_t buf[64];  // s <= 64 (sketch sizes are small; python guards)
+    for (int64_t w = 0; w < nw; ++w) {
+        int64_t ws = w * stride;
+        int64_t we = ws + win < L ? ws + win : L;
+        int64_t ke = we - k + 1;  // kmer starts in [ws, ke)
+        int cnt = 0;
+        for (int64_t p = ws; p < ke; ++p) {
+            uint32_t h = hashes[(size_t)p];
+            if (h == 0xFFFFFFFFu) continue;
+            if (cnt == s && h >= buf[cnt - 1]) continue;
+            // sorted insert, skipping duplicates (hash_dna.h:126-149)
+            int lo = 0, hi = cnt;
+            while (lo < hi) {
+                int mid = (lo + hi) >> 1;
+                if (buf[mid] < h) lo = mid + 1; else hi = mid;
+            }
+            if (lo < cnt && buf[lo] == h) continue;
+            int end = cnt < s ? cnt : s - 1;
+            for (int j = end; j > lo; --j) buf[j] = buf[j - 1];
+            buf[lo] = h;
+            if (cnt < s) ++cnt;
+        }
+        for (int j = 0; j < cnt; ++j) {
+            out_feat.push_back(buf[j]);
+            out_win.push_back((int32_t)w);
+        }
+    }
+    return nw;
+}
+
+struct SketchResult {
+    std::vector<std::string> headers;
+    std::vector<int64_t> seq_lens;
+    std::vector<int32_t> seq_windows;        // windows per record
+    std::vector<std::vector<uint32_t>> feat;  // per record
+    std::vector<std::vector<int32_t>> wins;   // per record
+    int64_t n_triples = 0;
+    std::string error;
+};
+
+}  // namespace
+
+extern "C" {
+
+int64_t mcio_num_windows(int64_t L, int64_t win, int64_t stride) {
+    return num_windows_of(L, win, stride);
+}
+
+// Parse a FASTA/FASTQ file AND sketch the shard-owned records in one pass.
+// Record i gets target id t0+i; it is sketched iff
+// (t0+i) % num_shards == shard_id (add_target_distributed,
+// src/sketch_database.h:519-563); headers/lengths return for ALL records.
+// Returns a result handle (query with mcio_sk_*, free with mcio_sk_free)
+// or nullptr if the file can't be opened.
+void* mcio_sketch_file(const char* path, int k, int s, int win, int stride,
+                       int64_t t0, int64_t num_shards, int64_t shard_id,
+                       int nthreads) {
+    if (s > 64 || k < 1 || k > 16) return nullptr;
+    SeqReader rd;
+    if (!rd.open(path)) return nullptr;
+    SketchResult* res = new SketchResult();
+    std::vector<std::string> datas;
+    Record rec;
+    for (;;) {
+        int st = rd.next(rec);
+        if (st < 0) {
+            res->error = rd.error() ? rd.error() : "read error";
+            return res;  // error reported via mcio_sk_error
+        }
+        if (st == 0) break;
+        res->headers.push_back(rec.header);
+        res->seq_lens.push_back((int64_t)rec.data.size());
+        datas.push_back(std::move(rec.data));
+    }
+    int64_t n = (int64_t)datas.size();
+    res->seq_windows.assign((size_t)n, 0);
+    res->feat.resize((size_t)n);
+    res->wins.resize((size_t)n);
+
+    std::atomic<int64_t> next(0);
+    auto work = [&]() {
+        std::vector<uint8_t> codes;
+        std::vector<uint32_t> hashes;
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= n) break;
+            int64_t nw = num_windows_of((int64_t)datas[(size_t)i].size(),
+                                        win, stride);
+            res->seq_windows[(size_t)i] = (int32_t)nw;
+            if ((t0 + i) % num_shards != shard_id) continue;
+            if (datas[(size_t)i].empty()) continue;
+            sketch_one((const uint8_t*)datas[(size_t)i].data(),
+                       (int64_t)datas[(size_t)i].size(), k, s, win, stride,
+                       codes, hashes, res->feat[(size_t)i],
+                       res->wins[(size_t)i]);
+        }
+    };
+    int T = nthreads > 0 ? nthreads
+                         : (int)std::thread::hardware_concurrency();
+    if (T < 1) T = 1;
+    if (T == 1) {
+        work();
+    } else {
+        std::vector<std::thread> threads;
+        for (int t = 0; t < T; ++t) threads.emplace_back(work);
+        for (auto& th : threads) th.join();
+    }
+    for (auto& v : res->feat) res->n_triples += (int64_t)v.size();
+    return res;
+}
+
+// Sketch pre-parsed sequences (concatenated bytes + offsets); record i is
+// sketched iff (t0+i) % num_shards == shard_id.
+void* mcio_sketch_many(const uint8_t* seqs, const int64_t* off, int64_t n,
+                       int k, int s, int win, int stride, int64_t t0,
+                       int64_t num_shards, int64_t shard_id, int nthreads) {
+    if (s > 64 || k < 1 || k > 16) return nullptr;
+    SketchResult* res = new SketchResult();
+    res->seq_lens.resize((size_t)n);
+    res->seq_windows.assign((size_t)n, 0);
+    res->feat.resize((size_t)n);
+    res->wins.resize((size_t)n);
+    std::atomic<int64_t> next(0);
+    auto work = [&]() {
+        std::vector<uint8_t> codes;
+        std::vector<uint32_t> hashes;
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= n) break;
+            int64_t L = off[i + 1] - off[i];
+            res->seq_lens[(size_t)i] = L;
+            res->seq_windows[(size_t)i] =
+                (int32_t)num_windows_of(L, win, stride);
+            if ((t0 + i) % num_shards != shard_id || L == 0) continue;
+            sketch_one(seqs + off[i], L, k, s, win, stride, codes, hashes,
+                       res->feat[(size_t)i], res->wins[(size_t)i]);
+        }
+    };
+    int T = nthreads > 0 ? nthreads
+                         : (int)std::thread::hardware_concurrency();
+    if (T < 1) T = 1;
+    if (T == 1) {
+        work();
+    } else {
+        std::vector<std::thread> threads;
+        for (int t = 0; t < T; ++t) threads.emplace_back(work);
+        for (auto& th : threads) th.join();
+    }
+    for (auto& v : res->feat) res->n_triples += (int64_t)v.size();
+    return res;
+}
+
+void mcio_sk_counts(void* vr, int64_t* n_records, int64_t* n_triples,
+                    int64_t* hdr_bytes) {
+    SketchResult* r = (SketchResult*)vr;
+    *n_records = (int64_t)r->seq_lens.size();
+    *n_triples = r->n_triples;
+    int64_t hb = 0;
+    for (auto& h : r->headers) hb += (int64_t)h.size();
+    *hdr_bytes = hb;
+}
+
+// Copy results out. feat/tgt/win sized n_triples (tgt[i] = t0 + record);
+// headers concatenated with hdr_off[n_records+1] prefix offsets (may be
+// null when the caller used mcio_sketch_many); seq_lens / seq_windows
+// sized n_records.
+void mcio_sk_fetch(void* vr, int64_t t0, uint32_t* feat, int32_t* tgt,
+                   int32_t* win, char* headers, int64_t* hdr_off,
+                   int64_t* seq_lens, int32_t* seq_windows) {
+    SketchResult* r = (SketchResult*)vr;
+    int64_t n = (int64_t)r->seq_lens.size();
+    int64_t pos = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const auto& f = r->feat[(size_t)i];
+        const auto& w = r->wins[(size_t)i];
+        if (!f.empty()) {
+            memcpy(feat + pos, f.data(), f.size() * sizeof(uint32_t));
+            memcpy(win + pos, w.data(), w.size() * sizeof(int32_t));
+            for (size_t j = 0; j < f.size(); ++j)
+                tgt[pos + (int64_t)j] = (int32_t)(t0 + i);
+            pos += (int64_t)f.size();
+        }
+        seq_lens[i] = r->seq_lens[(size_t)i];
+        seq_windows[i] = r->seq_windows[(size_t)i];
+    }
+    if (headers && hdr_off) {
+        int64_t hp = 0;
+        hdr_off[0] = 0;
+        for (int64_t i = 0; i < (int64_t)r->headers.size(); ++i) {
+            const auto& h = r->headers[(size_t)i];
+            memcpy(headers + hp, h.data(), h.size());
+            hp += (int64_t)h.size();
+            hdr_off[i + 1] = hp;
+        }
+    }
+}
+
+const char* mcio_sk_error(void* vr) {
+    return ((SketchResult*)vr)->error.c_str();
+}
+
+void mcio_sk_free(void* vr) { delete (SketchResult*)vr; }
 
 // ---------------------------------------------------------------------------
 // Standalone batch encoder: raw sequence bytes -> packed batch rows.

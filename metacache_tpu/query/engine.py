@@ -438,7 +438,10 @@ class QueryEngine:
         self.target_window_k = target_window_k
         p = db.query_sketch_params
         self.sketch_params = p
-        self.hits_min = classify.resolved_hits_min(p.sketch_size)
+        # threshold deduced from the TARGET sketcher's size, like
+        # adapt_options_to_database (src/mode_query.cpp:247-260)
+        self.hits_min = classify.resolved_hits_min(
+            db.sketch_params.sketch_size)
         self.lowest_rank = Rank.SEQUENCE if classify.lowest_rank is None \
             else _rank_code(classify.lowest_rank)
         self.highest_rank = _rank_code(classify.highest_rank)

@@ -70,9 +70,10 @@ def world(tmp_path_factory):
     return tmp
 
 
-def _lines(path):
+def _lines(path, cmt="# "):
     with open(path) as f:
-        return [l for l in f if not l.startswith(("# time:", "# speed:"))]
+        return [l for l in f
+                if not l.startswith((cmt + "time:", cmt + "speed:"))]
 
 
 FLAG_SETS = [
@@ -81,6 +82,13 @@ FLAG_SETS = [
     pytest.param(["-allhits", "-queryids"], id="allhits"),
     pytest.param(["-tophits", "-locations", "-queryids"], id="locations"),
     pytest.param(["-abundances"], id="abundances"),
+    pytest.param(["-separate-cols", "-queryids"], id="separate-cols"),
+    pytest.param(["-comment", "%%"], id="comment"),
+    # query-time DB tuning (mode_query.cpp:354-388)
+    pytest.param(["-sketchlen", "8"], id="sketchlen8"),
+    pytest.param(["-max-locations-per-feature", "2"], id="maxlpf2"),
+    pytest.param(["-remove-overpopulated-features",
+                  "-max-locations-per-feature", "2"], id="rmoverpop"),
 ]
 
 
@@ -98,7 +106,11 @@ def _query_both(tmp, tag, flags):
     res = _run_cli(["query", f"{tmp}/mydb"] + base +
                    ["-out", f"{tmp}/my_{tag}.txt"])
     assert res.returncode == 0, res.stderr
-    return _lines(f"{tmp}/ref_{tag}.txt"), _lines(f"{tmp}/my_{tag}.txt")
+    cmt = "# "
+    if "-comment" in flags:
+        cmt = flags[flags.index("-comment") + 1]
+    return (_lines(f"{tmp}/ref_{tag}.txt", cmt),
+            _lines(f"{tmp}/my_{tag}.txt", cmt))
 
 
 @pytest.mark.parametrize("flags", FLAG_SETS)
