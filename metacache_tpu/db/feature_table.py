@@ -62,13 +62,17 @@ class FeatureTable:
     @classmethod
     def from_triples(cls, features: np.ndarray, targets: np.ndarray,
                      windows: np.ndarray, max_locs_per_feature: int,
-                     presorted_by_location: bool = True) -> "FeatureTable":
+                     presorted_by_location: bool = True,
+                     sort_in_place: bool = False) -> "FeatureTable":
         """Build from (feature, target, window) triples.
 
         If `presorted_by_location` the triples are already in ascending
         (target, window) order (true when targets are sketched in id order),
         so a stable sort on the feature alone yields runs sorted by
         (target, window) — the reference's per-bucket insertion order.
+
+        sort_in_place: the caller's arrays may be reordered (enables the
+        native radix sort without a copy — the build hot path).
         """
         features = np.ascontiguousarray(features, dtype=np.uint32)
         targets = np.ascontiguousarray(targets, dtype=np.int32)
@@ -77,10 +81,19 @@ class FeatureTable:
             order0 = np.lexsort((windows, targets))
             features, targets, windows = (features[order0], targets[order0],
                                           windows[order0])
-        order = np.argsort(features, kind="stable")
-        f = features[order]
-        t = targets[order]
-        w = windows[order]
+            sort_in_place = True
+        sorted_native = False
+        if sort_in_place and len(features):
+            from .. import native
+            sorted_native = native.radix_sort_triples(features, targets,
+                                                      windows)
+        if sorted_native:
+            f, t, w = features, targets, windows
+        else:
+            order = np.argsort(features, kind="stable")
+            f = features[order]
+            t = targets[order]
+            w = windows[order]
 
         # runs of the (already sorted) feature array — np.unique would
         # sort a second time
@@ -99,10 +112,21 @@ class FeatureTable:
         capped = np.minimum(counts, max_locs_per_feature)
         offsets = np.zeros(len(keys) + 1, dtype=np.int64)
         np.cumsum(capped, out=offsets[1:])
-        if len(f) and capped[-1] == counts[-1] and offsets[-1] == len(f):
+        if len(f) and offsets[-1] == len(f):
             # nothing capped: the sorted arrays ARE the location arrays
             return cls(keys=keys.astype(np.uint32), offsets=offsets,
                        loc_tgt=t, loc_win=w)
+        over = np.nonzero(counts > max_locs_per_feature)[0]
+        if len(keys) and len(over) <= 100_000:
+            # heavy-tailed case: few runs exceed the cap — mark their
+            # tails instead of re-gathering every location (the gather
+            # formulation costs seconds at 10^7 locations)
+            keep = np.ones(len(f), dtype=bool)
+            for r in over:
+                keep[run_starts[r] + max_locs_per_feature:
+                     run_starts[r] + counts[r]] = False
+            return cls(keys=keys.astype(np.uint32), offsets=offsets,
+                       loc_tgt=t[keep], loc_win=w[keep])
         # gather kept entries: for run i, indices run_starts[i] + [0, capped[i])
         idx = _run_local_indices(run_starts, capped) if len(keys) else \
             np.zeros(0, np.int64)
@@ -349,7 +373,8 @@ class ChunkedTripleSorter:
         if not self._chunks:
             # everything fit in one buffer: no disk round-trip
             f, t, w = self._concat_buf()
-            return FeatureTable.from_triples(f, t, w, max_locs_per_feature)
+            return FeatureTable.from_triples(f, t, w, max_locs_per_feature,
+                                             sort_in_place=True)
         self._spill()
         mm = [(np.load(p + ".f.npy", mmap_mode="r"),
                np.load(p + ".t.npy", mmap_mode="r"),
@@ -372,7 +397,7 @@ class ChunkedTripleSorter:
                 continue
             parts.append(FeatureTable.from_triples(
                 np.concatenate(fs), np.concatenate(ts), np.concatenate(ws),
-                max_locs_per_feature))
+                max_locs_per_feature, sort_in_place=True))
         shutil.rmtree(self._tmp, ignore_errors=True)
         if not parts:
             return FeatureTable.empty()

@@ -100,6 +100,10 @@ def load_mcio():
         lib.mcio_sk_error.argtypes = [ctypes.c_void_p]
         lib.mcio_sk_free.restype = None
         lib.mcio_sk_free.argtypes = [ctypes.c_void_p]
+        lib.mcio_radix_sort_triples.restype = None
+        lib.mcio_radix_sort_triples.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64]
         _lib = lib
         return _lib
 
@@ -282,6 +286,23 @@ def sketch_sequences(seqs: List[bytes], k: int, s: int, window: int,
     if not h:
         return None
     return _fetch_sketch_result(lib, h, t0, want_headers=False)
+
+
+def radix_sort_triples(f: np.ndarray, t: np.ndarray, w: np.ndarray) -> bool:
+    """Stable in-place sort of (feature u32, target i32, window i32)
+    triples by feature via the native LSD radix sort; returns False when
+    the native library is unavailable (caller falls back to numpy).
+    Arrays must be contiguous and same-length."""
+    lib = load_mcio()
+    if lib is None:
+        return False
+    assert f.flags.c_contiguous and t.flags.c_contiguous \
+        and w.flags.c_contiguous
+    assert f.dtype == np.uint32 and t.dtype == np.int32 \
+        and w.dtype == np.int32 and len(f) == len(t) == len(w)
+    lib.mcio_radix_sort_triples(f.ctypes.data, t.ctypes.data, w.ctypes.data,
+                                len(f))
+    return True
 
 
 def encode_batch(seqs: List[bytes], max_len: int):

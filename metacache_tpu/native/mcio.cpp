@@ -668,4 +668,45 @@ void mcio_encode_batch(const uint8_t* seqs, const int64_t* off, int64_t n,
     }
 }
 
+// Stable LSD radix sort of (feature, target, window) triples by feature —
+// the database-construction sort (FeatureTable.from_triples). A stable
+// sort on the feature alone preserves the (target, window) insertion
+// order inside each bucket, which the per-feature location-cap semantics
+// require (src/hash_multimap.h insertion order). In-place on the caller's
+// arrays; replaces numpy stable argsort + three fancy-index gathers.
+void mcio_radix_sort_triples(uint32_t* f, int32_t* t, int32_t* w,
+                             int64_t n) {
+    if (n <= 1) return;
+    std::vector<uint32_t> f2((size_t)n);
+    std::vector<int32_t> t2((size_t)n), w2((size_t)n);
+    uint32_t* fs = f;
+    uint32_t* fd = f2.data();
+    int32_t* ts = t;
+    int32_t* td = t2.data();
+    int32_t* ws = w;
+    int32_t* wd = w2.data();
+    int64_t count[256];
+    for (int pass = 0; pass < 4; ++pass) {
+        const int sh = pass * 8;
+        memset(count, 0, sizeof(count));
+        for (int64_t i = 0; i < n; ++i) ++count[(fs[i] >> sh) & 0xFF];
+        int64_t pos = 0;
+        for (int b = 0; b < 256; ++b) {
+            int64_t c = count[b];
+            count[b] = pos;
+            pos += c;
+        }
+        for (int64_t i = 0; i < n; ++i) {
+            int64_t p = count[(fs[i] >> sh) & 0xFF]++;
+            fd[p] = fs[i];
+            td[p] = ts[i];
+            wd[p] = ws[i];
+        }
+        std::swap(fs, fd);
+        std::swap(ts, td);
+        std::swap(ws, wd);
+    }
+    // 4 passes = even number of swaps: result is back in the caller's arrays
+}
+
 }  // extern "C"

@@ -99,16 +99,34 @@ def synth_ambig_from_lens(lens: jnp.ndarray, qlen: int) -> jnp.ndarray:
     return out
 
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
 def np_rows_with_ambiguity(ambig: np.ndarray, lens: np.ndarray,
                            qlen: int) -> np.ndarray:
     """Host-side: boolean [B] — does row b have any ambiguity bit set at a
-    position < lens[b]? (Padding bits beyond the read length don't count:
-    np_pack_codes marks them, the native reader leaves them zero.)"""
+    position < lens[b]?
+
+    Fast path: both producers (np_pack_codes and the native reader's
+    encode_row) set ALL padding bits, so a row is clean iff its popcount
+    equals its padding count — one 256-entry LUT pass instead of
+    unpackbits over B*qlen booleans (this runs per dispatched batch on the
+    query hot path). Rows with FEWER set bits than padding (a producer
+    that left padding unmarked) fall back to the exact bit scan."""
     if not ambig.any():
         return np.zeros(ambig.shape[0], dtype=bool)
-    bits = np.unpackbits(ambig, axis=1, bitorder="little")[:, :qlen]
-    pos = np.arange(qlen)
-    return ((bits != 0) & (pos[None, :] < lens[:, None])).any(axis=1)
+    pop = _POP8[ambig].sum(axis=1, dtype=np.int32)
+    pad = np.maximum(qlen - lens, 0).astype(np.int32)
+    out = pop > pad
+    under = pop < pad
+    if under.any():
+        rows = np.nonzero(under)[0]
+        bits = np.unpackbits(ambig[rows], axis=1,
+                             bitorder="little")[:, :qlen]
+        pos = np.arange(qlen)
+        out[rows] = ((bits != 0)
+                     & (pos[None, :] < lens[rows, None])).any(axis=1)
+    return out
 
 
 # ---------------------------------------------------------------------------
