@@ -182,10 +182,11 @@ def measure_tpu() -> float:
     # (dispatch is async); block only on materialization — exactly how
     # QueryProcessor drives the engine (one batch in flight + host
     # formatting overlap).
-    log("timed run (best of 3 + median logged; the tunneled device's "
-        "effective speed varies minute to minute) ...")
+    log("timed run (best of 5 + median logged; the tunneled device's "
+        "effective speed AND mode — program device-resident vs re-shipped "
+        "per execution — vary minute to minute, PERF.md) ...")
     speeds = []
-    for trial in range(3):
+    for trial in range(5):
         t0 = time.time()
         total = 0
         n_classified = 0
@@ -205,8 +206,9 @@ def measure_tpu() -> float:
             f"{total/wall:.0f} pairs/s "
             f"({n_classified}/{total} classified)")
         speeds.append(total / wall)
-    log(f"median of 3 trials: {sorted(speeds)[1]:.0f} pairs/s")
-    return max(speeds), sorted(speeds)[1]
+    med = sorted(speeds)[len(speeds) // 2]
+    log(f"median of {len(speeds)} trials: {med:.0f} pairs/s")
+    return max(speeds), med
 
 
 def measure_build() -> dict:
@@ -477,7 +479,7 @@ def main():
         "vs_baseline": round(vs, 3),
         "median_value": round(tpu_med, 1),
         "median_vs_baseline": round(tpu_med / ref_rps, 3) if ref_rps else 0.0,
-        "methodology": "best of 3 trials, 262144-pair pipelined window",
+        "methodology": "best of 5 trials, 262144-pair pipelined window",
         **build,
     }))
 

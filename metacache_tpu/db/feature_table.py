@@ -82,18 +82,21 @@ class FeatureTable:
             features, targets, windows = (features[order0], targets[order0],
                                           windows[order0])
             sort_in_place = True
-        sorted_native = False
         if sort_in_place and len(features):
+            # native sort + single-pass CSR (mcio_build_table): each numpy
+            # step below is a full-array pass — seconds each at 10^7
+            # triples on bandwidth-starved hosts
             from .. import native
-            sorted_native = native.radix_sort_triples(features, targets,
-                                                      windows)
-        if sorted_native:
-            f, t, w = features, targets, windows
-        else:
-            order = np.argsort(features, kind="stable")
-            f = features[order]
-            t = targets[order]
-            w = windows[order]
+            res = native.build_csr_table(features, targets, windows,
+                                         int(max_locs_per_feature))
+            if res is not None:
+                keys, offsets, lt, lw = res
+                return cls(keys=keys, offsets=offsets, loc_tgt=lt,
+                           loc_win=lw)
+        order = np.argsort(features, kind="stable")
+        f = features[order]
+        t = targets[order]
+        w = windows[order]
 
         # runs of the (already sorted) feature array — np.unique would
         # sort a second time

@@ -104,6 +104,18 @@ def load_mcio():
         lib.mcio_radix_sort_triples.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64]
+        lib.mcio_build_table.restype = ctypes.c_void_p
+        lib.mcio_build_table.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64]
+        lib.mcio_table_counts.restype = None
+        lib.mcio_table_counts.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                          ctypes.c_void_p]
+        lib.mcio_table_fetch.restype = None
+        lib.mcio_table_fetch.argtypes = [ctypes.c_void_p] + \
+            [ctypes.c_void_p] * 4
+        lib.mcio_table_free.restype = None
+        lib.mcio_table_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -303,6 +315,34 @@ def radix_sort_triples(f: np.ndarray, t: np.ndarray, w: np.ndarray) -> bool:
     lib.mcio_radix_sort_triples(f.ctypes.data, t.ctypes.data, w.ctypes.data,
                                 len(f))
     return True
+
+
+def build_csr_table(f: np.ndarray, t: np.ndarray, w: np.ndarray,
+                    cap: int):
+    """Sort (in place) + CSR-construct a feature table natively.
+
+    Returns (keys u32, offsets i64, loc_tgt i32, loc_win i32) or None when
+    the native library is unavailable."""
+    lib = load_mcio()
+    if lib is None:
+        return None
+    assert f.flags.c_contiguous and t.flags.c_contiguous \
+        and w.flags.c_contiguous
+    assert f.dtype == np.uint32 and t.dtype == np.int32 \
+        and w.dtype == np.int32 and len(f) == len(t) == len(w)
+    import ctypes as ct
+    h = lib.mcio_build_table(f.ctypes.data, t.ctypes.data, w.ctypes.data,
+                             len(f), cap)
+    nk, nl = ct.c_int64(), ct.c_int64()
+    lib.mcio_table_counts(h, ct.byref(nk), ct.byref(nl))
+    keys = np.zeros(nk.value, np.uint32)
+    offsets = np.zeros(nk.value + 1, np.int64)
+    lt = np.zeros(nl.value, np.int32)
+    lw = np.zeros(nl.value, np.int32)
+    lib.mcio_table_fetch(h, keys.ctypes.data, offsets.ctypes.data,
+                         lt.ctypes.data, lw.ctypes.data)
+    lib.mcio_table_free(h)
+    return keys, offsets, lt, lw
 
 
 def encode_batch(seqs: List[bytes], max_len: int):

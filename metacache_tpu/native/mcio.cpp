@@ -709,4 +709,60 @@ void mcio_radix_sort_triples(uint32_t* f, int32_t* t, int32_t* w,
     // 4 passes = even number of swaps: result is back in the caller's arrays
 }
 
+// Full database-table construction: radix-sort the triples by feature
+// (stable), then build the CSR structure (unique keys, offsets, location
+// arrays capped at `cap` per feature, keeping the FIRST entries — the
+// reference's insertion-order cap, src/hash_multimap.h:653) in one pass.
+// The numpy formulation costs one full-array pass per step (run breaks,
+// nonzero, diff, cumsum, boolean gather) — seconds each at 10^7 triples
+// on slow hosts; this is a single C++ walk.
+struct CsrResult {
+    std::vector<uint32_t> keys;
+    std::vector<int64_t> offsets;
+    std::vector<int32_t> lt, lw;
+};
+
+void* mcio_build_table(uint32_t* f, int32_t* t, int32_t* w, int64_t n,
+                       int64_t cap) {
+    mcio_radix_sort_triples(f, t, w, n);
+    CsrResult* r = new CsrResult();
+    r->keys.reserve((size_t)(n / 2 + 1));
+    r->offsets.reserve((size_t)(n / 2 + 2));
+    r->lt.reserve((size_t)n);
+    r->lw.reserve((size_t)n);
+    r->offsets.push_back(0);
+    int64_t i = 0;
+    while (i < n) {
+        uint32_t key = f[i];
+        int64_t j = i;
+        while (j < n && f[j] == key) ++j;
+        int64_t take = j - i < cap ? j - i : cap;
+        r->keys.push_back(key);
+        for (int64_t k = i; k < i + take; ++k) {
+            r->lt.push_back(t[k]);
+            r->lw.push_back(w[k]);
+        }
+        r->offsets.push_back((int64_t)r->lt.size());
+        i = j;
+    }
+    return r;
+}
+
+void mcio_table_counts(void* vr, int64_t* n_keys, int64_t* n_locs) {
+    CsrResult* r = (CsrResult*)vr;
+    *n_keys = (int64_t)r->keys.size();
+    *n_locs = (int64_t)r->lt.size();
+}
+
+void mcio_table_fetch(void* vr, uint32_t* keys, int64_t* offsets,
+                      int32_t* lt, int32_t* lw) {
+    CsrResult* r = (CsrResult*)vr;
+    memcpy(keys, r->keys.data(), r->keys.size() * sizeof(uint32_t));
+    memcpy(offsets, r->offsets.data(), r->offsets.size() * sizeof(int64_t));
+    memcpy(lt, r->lt.data(), r->lt.size() * sizeof(int32_t));
+    memcpy(lw, r->lw.data(), r->lw.size() * sizeof(int32_t));
+}
+
+void mcio_table_free(void* vr) { delete (CsrResult*)vr; }
+
 }  // extern "C"

@@ -66,7 +66,14 @@ def _lower_bound_pairs(tgt, win, q_tgt, q_win):
 
 def _rank_lower_bound(tgt, win, q_win):
     """left[b, j] = #{i : (tgt[b,i], win[b,i]) < (tgt[b,j], q_win[b,j])}
-    via co-sorting matches and queries (no random access)."""
+    via co-sorting matches and queries (rank-by-sort).
+
+    Generated-code accounting on TPU (round-3 size probe, [8192, 96]):
+    the two width-2L sorts compile to ~0.5 MB total, while an unrolled
+    binary search costs ~1 MB PER take_along_axis step (~9 MB); and a
+    lax.associative_scan(add) here costs ~6x more code than jnp.cumsum.
+    Executable size is what the one-time per-process program load (and the
+    degraded re-ship-per-execution mode) of a tunneled device pays for."""
     B, L = tgt.shape
     pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
     is_item = jnp.concatenate(
@@ -78,47 +85,53 @@ def _rank_lower_bound(tgt, win, q_win):
     s_tgt, s_win, s_item, s_pay = jax.lax.sort(
         (c_tgt, c_win, is_item, c_pay), dimension=1, num_keys=3,
         is_stable=False)
-    items_before = jax.lax.associative_scan(jnp.add, s_item, axis=1)
-    # at a query slot: number of items strictly before it
-    left_at_slot = items_before
+    items_before = jnp.cumsum(s_item, axis=1)
     # return ranks to query order: queries (is_item=0) first, by payload
-    _, _, back = jax.lax.sort((s_item, s_pay, left_at_slot), dimension=1,
+    _, _, back = jax.lax.sort((s_item, s_pay, items_before), dimension=1,
                               num_keys=2, is_stable=False)
     return back[:, :L]
 
 
-def _seg_combine_max(a, b):
-    (v1, f1), (v2, f2) = a, b
-    return (jnp.where(f2, v2, jnp.maximum(v1, v2)), f1 | f2)
+def _prefix_max(x):
+    """Inclusive prefix max along axis 1 via log-shift steps.
+
+    lax.cummax compiles to ~7.6 MB of generated code at [8192, 96]
+    (round-3 size probe); log2(W) shifted elementwise maxima compile to
+    ~0.1 MB and run at the same speed. Executable size is what the
+    one-time per-process program load of a tunneled device pays for."""
+    B, W = x.shape
+    s = 1
+    while s < W:
+        shifted = jnp.concatenate(
+            [jnp.full((B, s), np.iinfo(np.int32).min, x.dtype),
+             x[:, :-s]], axis=1)
+        x = jnp.maximum(x, shifted)
+        s <<= 1
+    return x
 
 
-def _seg_combine_min(a, b):
-    (v1, f1), (v2, f2) = a, b
-    return (jnp.where(f2, v2, jnp.minimum(v1, v2)), f1 | f2)
-
-
-def _segment_broadcast_max(values, new_seg):
+def _segment_broadcast_max(values, new_seg, vmax: int):
     """Per-element max over the element's whole segment (contiguous runs
-    marked by new_seg) via forward + backward segmented scans."""
-    fwd, _ = jax.lax.associative_scan(_seg_combine_max, (values, new_seg),
-                                      axis=1)
+    marked by new_seg). `values` must lie in [0, vmax].
+
+    Plain prefix max over segment-encoded values (seg_id * (vmax+1) + v is
+    monotone across segment boundaries, so the running max resets
+    automatically); one forward and one backward pass broadcast each
+    segment's total max to all its elements."""
+    K = jnp.int32(vmax + 1)
+    seg = jnp.cumsum(new_seg.astype(jnp.int32), axis=1)
+    fwd = _prefix_max(seg * K + values) - seg * K
     seg_end = jnp.concatenate(
         [new_seg[:, 1:], jnp.ones_like(new_seg[:, :1])], axis=1)
-    r_v = jnp.flip(fwd, axis=1)
-    r_f = jnp.flip(seg_end, axis=1)
-    bwd, _ = jax.lax.associative_scan(_seg_combine_max, (r_v, r_f), axis=1)
+    rv = jnp.flip(fwd, axis=1)
+    rseg = jnp.cumsum(jnp.flip(seg_end, axis=1).astype(jnp.int32), axis=1)
+    bwd = _prefix_max(rseg * K + rv) - rseg * K
     return jnp.flip(bwd, axis=1)
 
 
-def _segment_broadcast_min(values, new_seg):
-    fwd, _ = jax.lax.associative_scan(_seg_combine_min, (values, new_seg),
-                                      axis=1)
-    seg_end = jnp.concatenate(
-        [new_seg[:, 1:], jnp.ones_like(new_seg[:, :1])], axis=1)
-    r_v = jnp.flip(fwd, axis=1)
-    r_f = jnp.flip(seg_end, axis=1)
-    bwd, _ = jax.lax.associative_scan(_seg_combine_min, (r_v, r_f), axis=1)
-    return jnp.flip(bwd, axis=1)
+def _segment_broadcast_min(values, new_seg, vmax: int):
+    """min(v) = vmax - max(vmax - v); `values` must lie in [0, vmax]."""
+    return vmax - _segment_broadcast_max(vmax - values, new_seg, vmax)
 
 
 @functools.partial(jax.jit, static_argnames=("max_candidates",))
@@ -154,10 +167,11 @@ def generate_candidates(tgt, win, num_windows, target_cand_tax,
     # ---- per-target best (segmented scans, first achiever) ---------------
     new_seg = jnp.concatenate(
         [jnp.ones((B, 1), dtype=jnp.bool_), tgt[:, 1:] != tgt[:, :-1]], axis=1)
-    seg_best = _segment_broadcast_max(hits, new_seg)
+    seg_best = _segment_broadcast_max(hits, new_seg, L)
     achiever = valid & (hits == seg_best)
-    first_pos = _segment_broadcast_min(jnp.where(achiever, pos, _BIG),
-                                       new_seg)
+    # sentinel L (> any pos) marks non-achievers; it can never equal pos
+    first_pos = _segment_broadcast_min(jnp.where(achiever, pos, L),
+                                       new_seg, L)
     rep = achiever & (pos == first_pos)
 
     # ---- map targets to candidate taxa (merge below lowest rank) ---------

@@ -154,11 +154,15 @@ def _expand_slots(start, cum_ex, lmax: int):
         is_stable=False)
     is_item = s_flag == 0
 
-    def _carry_last(a, b):
-        (p1, f1), (p2, f2) = a, b
-        return (jnp.where(f2, p2, p1), f1 | f2)
-
-    pay, _ = jax.lax.associative_scan(_carry_last, (s_pay, is_item), axis=1)
+    # carry the most recent item's payload forward: cummax of the last
+    # item slot index + one aligned gather — a generic
+    # lax.associative_scan(carry_combine) bloats the TPU executable ~6x
+    # (round-3 size probe; exe size sets the program-load cost)
+    W2 = NF + lmax
+    iota = jnp.broadcast_to(jnp.arange(W2, dtype=jnp.int32)[None, :],
+                            (B, W2))
+    last_idx = jax.lax.cummax(jnp.where(is_item, iota, -1), axis=1)
+    pay = jnp.take_along_axis(s_pay, jnp.maximum(last_idx, 0), axis=1)
     # return query slots to slot order: queries (flag 1) land in the last
     # lmax columns sorted by slot id
     _, _, back = jax.lax.sort((s_flag, s_pos, pay), dimension=1, num_keys=2,

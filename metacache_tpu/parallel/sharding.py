@@ -196,6 +196,10 @@ class ShardedQueryEngine:
         self._dist = dist
         self._target_groups = None
         self._compiled = {}
+        # device-resident threshold scalars (see QueryEngine: per-dispatch
+        # scalar creation costs two extra host->device copies per batch)
+        self._hits_min_dev = jnp.int32(self.hits_min)
+        self._hits_diff_dev = jnp.float32(classify.hits_diff_fraction)
 
     # ------------------------------------------------------------------
     def set_exclusion(self, rank_code: int):
@@ -337,8 +341,7 @@ class ShardedQueryEngine:
             self._keys, self._offsets, self._loc_tgt, self._loc_win,
             loc_packed, self._bucket_offsets,
             self._start_tbl, self._cnt_tbl, self._tct, self._lineage,
-            jnp.int32(self.hits_min),
-            jnp.float32(self.classify.hits_diff_fraction),
+            self._hits_min_dev, self._hits_diff_dev,
             eg, tg)
         out = {"cand": merged, "best": best, "best_rank": best_rank,
                "match_total": tot, "match_overflow": ovf,

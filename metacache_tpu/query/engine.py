@@ -523,6 +523,12 @@ class QueryEngine:
         self._loc_packed = None if packed is None else jnp.asarray(packed)
         self._tct = jnp.asarray(db.target_cand_tax(self.lowest_rank))
         self._lineage = jnp.asarray(db.taxonomy.ranked_lineage)
+        # classification thresholds as device-resident scalars: creating
+        # them per dispatch costs two extra host->device copies per batch,
+        # and per-copy LATENCY through the tunneled device (tens of ms in
+        # bad weather) serializes against executions
+        self._hits_min_dev = jnp.int32(self.hits_min)
+        self._hits_diff_dev = jnp.float32(classify.hits_diff_fraction)
 
         # wire/summary formats: slim wire (no ambiguity plane, short
         # lengths) + packed one-word summaries, both sized for the
@@ -580,8 +586,7 @@ class QueryEngine:
             jnp.asarray(fused),
             self._keys, self._offsets, self._loc_tgt, self._loc_win,
             self._tct, self._lineage,
-            jnp.int32(self.hits_min),
-            jnp.float32(self.classify.hits_diff_fraction),
+            self._hits_min_dev, self._hits_diff_dev,
             exclude_groups if exclude_groups is None
             else jnp.asarray(exclude_groups),
             None if exclude_groups is None else self._target_groups,
