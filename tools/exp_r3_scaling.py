@@ -91,7 +91,14 @@ def chip():
 
 def merge():
     """Cost of the cross-shard candidate merge alone as a function of P."""
+    # sitecustomize imports jax (axon backend) at interpreter start; env
+    # vars are too late — override via jax.config like tests/conftest.py
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
     import jax
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
     from metacache_tpu.ops import candidates as cand_ops
