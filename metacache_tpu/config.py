@@ -129,4 +129,7 @@ class QueryPipelineParams:
     # this many match slots, no CSR slot expansion. Reads holding a feature
     # with more stored locations re-run through the full-width program.
     # 0 = auto-size from bucket-size stats; -1 = disable the direct path.
+    # Sharded engines (no overflow re-run tier) honor only 0/-1: they use
+    # the direct path only when exact (cap = global max bucket size) and
+    # warn if a positive cap is requested.
     fast_bucket_cap: int = 0

@@ -157,6 +157,13 @@ class ShardedQueryEngine:
         # the per-feature cap covers the global max bucket size and the
         # resulting static match width stays below the legacy lmax
         nf_width = 2 * len(self.starts) * p.sketch_size * max(1, max_bucket)
+        if pipeline.fast_bucket_cap > 0:
+            import warnings
+            warnings.warn(
+                "sharded engines have no overflow re-run tier and ignore a "
+                "positive fast_bucket_cap: the direct path is used only "
+                "when exact (cap = global max bucket size); pass -1 to "
+                "disable it")
         self._direct_mb = max_bucket if (
             pipeline.fast_bucket_cap >= 0 and max_bucket > 0
             and nf_width <= pipeline.max_locations_per_query) else 0

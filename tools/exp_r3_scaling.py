@@ -127,17 +127,21 @@ def merge():
             out_specs=(P(), P()), check_vma=False))
         args = [jnp.asarray(rng.integers(0, 100, (B, C)).astype(np.int32))
                 for _ in range(5)]
-        r = fn(*args)
-        jax.block_until_ready(r)
-        t0 = time.time()
-        N = 50
-        for _ in range(N):
+        try:
             r = fn(*args)
-        jax.block_until_ready(r)
+            jax.block_until_ready(r)
+            t0 = time.time()
+            N = 50
+            for _ in range(N):
+                r = fn(*args)
+            jax.block_until_ready(r)
+        except Exception as e:     # 8 virtual devices on 2 cores can OOM
+            print(f"P={Pn}: failed ({type(e).__name__})", flush=True)
+            break
         ms = (time.time() - t0) / N * 1e3
         print(f"P={Pn}: merge {ms:.3f} ms/batch", flush=True)
         res["merge_microbench"].append({"P": Pn, "ms_per_batch": round(ms, 4)})
-    _merge_into_scaling(res)
+        _merge_into_scaling(res)   # save incrementally: P=8 may abort
     print(json.dumps(res))
 
 
