@@ -110,23 +110,33 @@ def _prefix_max(x):
     return x
 
 
+def _suffix_max(x):
+    """Inclusive suffix max along axis 1 (mirror of _prefix_max)."""
+    B, W = x.shape
+    s = 1
+    while s < W:
+        shifted = jnp.concatenate(
+            [x[:, s:], jnp.full((B, s), np.iinfo(np.int32).min, x.dtype)],
+            axis=1)
+        x = jnp.maximum(x, shifted)
+        s <<= 1
+    return x
+
+
 def _segment_broadcast_max(values, new_seg, vmax: int):
     """Per-element max over the element's whole segment (contiguous runs
     marked by new_seg). `values` must lie in [0, vmax].
 
     Plain prefix max over segment-encoded values (seg_id * (vmax+1) + v is
     monotone across segment boundaries, so the running max resets
-    automatically); one forward and one backward pass broadcast each
-    segment's total max to all its elements."""
+    automatically), then a suffix max with NEGATED segment bases (later
+    segments encode strictly lower, so they never leak left) broadcasts
+    each segment's total to all its elements. No jnp.flip: the reverse op
+    costs ~1.5 MB of generated code per use on this backend."""
     K = jnp.int32(vmax + 1)
     seg = jnp.cumsum(new_seg.astype(jnp.int32), axis=1)
     fwd = _prefix_max(seg * K + values) - seg * K
-    seg_end = jnp.concatenate(
-        [new_seg[:, 1:], jnp.ones_like(new_seg[:, :1])], axis=1)
-    rv = jnp.flip(fwd, axis=1)
-    rseg = jnp.cumsum(jnp.flip(seg_end, axis=1).astype(jnp.int32), axis=1)
-    bwd = _prefix_max(rseg * K + rv) - rseg * K
-    return jnp.flip(bwd, axis=1)
+    return _suffix_max(fwd - seg * K) + seg * K
 
 
 def _segment_broadcast_min(values, new_seg, vmax: int):
@@ -188,18 +198,24 @@ def generate_candidates(tgt, win, num_windows, target_cand_tax,
     winner = first_of_key & (s_key != _BIG)
 
     # ---- final top-k by (hits desc, consume order asc) --------------------
-    score = jnp.where(winner, s_hits * L + (L - 1 - s_pos), -1)
-    _, top_idx = jax.lax.top_k(score, max_candidates)
-    take = lambda a: jnp.take_along_axis(a, top_idx, axis=1)
-    top_ok = take(score) >= 0
-    top_left = jnp.clip(take(s_left), 0, L - 1)
+    # one more multi-operand sort + slice instead of lax.top_k + per-field
+    # take_along_axis gathers (~0.7 MB of generated code EACH on this
+    # backend; the sort is ~0.5 MB total — see PERF.md round 3)
+    o_neg = jnp.where(winner, -s_hits, _BIG)
+    o_pos = jnp.where(winner, s_pos, _BIG)
+    f_neg, f_pos, f_key, f_hits, f_left, f_end, f_tgt = jax.lax.sort(
+        (o_neg, o_pos, s_key, s_hits, s_left, s_end, s_tgt), dimension=1,
+        num_keys=2, is_stable=False)
+    Cn = max_candidates
+    top_ok = f_neg[:, :Cn] != _BIG
+    top_left = jnp.clip(f_left[:, :Cn], 0, L - 1)
     beg = jnp.take_along_axis(win, top_left, axis=1)
     return {
-        "tax": jnp.where(top_ok, take(s_key), 0),
-        "hits": jnp.where(top_ok, take(s_hits), 0),
+        "tax": jnp.where(top_ok, f_key[:, :Cn], 0),
+        "hits": jnp.where(top_ok, f_hits[:, :Cn], 0),
         "beg": jnp.where(top_ok, beg, 0),
-        "end": jnp.where(top_ok, take(s_end), 0),
-        "tgt": jnp.where(top_ok, take(s_tgt), TARGET_SENTINEL),
+        "end": jnp.where(top_ok, f_end[:, :Cn], 0),
+        "tgt": jnp.where(top_ok, f_tgt[:, :Cn], TARGET_SENTINEL),
     }
 
 

@@ -50,20 +50,27 @@ def sketch_windows(codes: jnp.ndarray, valid_len: jnp.ndarray,
     h = thomas_mueller_hash(kmers)
     h = jnp.where(valid, h, SENTINEL)
     # sentinel can also be a genuine hash output; the reference excludes it
-    # (h < sketch.back() is false when back == ~0), and the min-extraction
+    # (h < sketch.back() is false when back == ~0), and the formulation
     # below treats it exactly the same way: it never survives.
     #
-    # s smallest *unique* values by iterative min extraction: each step
-    # takes the row minimum and retires ALL its copies (which is exactly
-    # the dedup), yielding ascending unique values. This is pure VPU
-    # min/compare work — far cheaper on TPU than the sort network a
-    # sort/unique/sort formulation would lower to.
-    out = []
-    for _ in range(sketch_size):
-        m = jnp.min(h, axis=-1, keepdims=True)
-        out.append(m)
-        h = jnp.where(h == m, SENTINEL, h)
-    return jnp.concatenate(out, axis=-1)
+    # s smallest *unique* values as sort -> mask adjacent duplicates ->
+    # slice. The sorted-run dedup needs a second pass to compact, done
+    # with one more single-key sort. Two single-key lax.sort calls
+    # compile to ~0 bytes of code on this backend, while the
+    # min-extraction alternative (sketch_size unrolled min+where steps)
+    # compiles to ~1.8 MB — and executable size sets the per-process
+    # program-load cost of a tunneled device (PERF.md round 3).
+    hs = jax.lax.sort(h, dimension=-1, is_stable=False)
+    dup = jnp.concatenate(
+        [jnp.zeros_like(hs[..., :1], dtype=bool),
+         hs[..., 1:] == hs[..., :-1]], axis=-1)
+    hs = jnp.where(dup, SENTINEL, hs)
+    hs = jax.lax.sort(hs, dimension=-1, is_stable=False)
+    if hs.shape[-1] < sketch_size:   # window shorter than the sketch
+        hs = jnp.concatenate(
+            [hs, jnp.full(hs.shape[:-1] + (sketch_size - hs.shape[-1],),
+                          SENTINEL, hs.dtype)], axis=-1)
+    return hs[..., :sketch_size]
 
 
 def np_sketch_window(codes: np.ndarray, valid_len: int,
