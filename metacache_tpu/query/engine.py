@@ -618,16 +618,10 @@ class QueryEngine:
             return "p1"
         return "p2"
 
-    def dispatch_packed(self, p1, a1, lens1, p2, a2, lens2,
-                        exclude_groups=None):
-        """Enqueue the device program; returns on-device outputs without
-        blocking (JAX dispatch is async), enabling host/device overlap —
-        the TPU counterpart of the reference's reader/worker thread overlap
-        (src/querying.h:749-830). Runs the narrow fast-tier program over
-        the slim wire format; materialize() re-runs overflowing reads and
-        reads containing ambiguous characters at full legacy capacity."""
-        eg = None if exclude_groups is None else np.asarray(exclude_groups)
-        sfmt = self._main_sfmt()
+    def precompute_wire(self, p1, a1, lens1, p2, a2, lens2):
+        """Host-side wire buffer + ambiguous-row indices, reusable across
+        dispatches of the same batch (dispatch_packed(wire=...)). Lets
+        readers/pipelines overlap or amortize the packing work."""
         if self._wire == "slim":
             qlen = self.pipeline.max_query_len
             fused = fuse_host_inputs_slim(p1, lens1, p2, lens2,
@@ -641,6 +635,21 @@ class QueryEngine:
         else:
             fused = fuse_host_inputs(p1, a1, lens1, p2, a2, lens2)
             ambig_rows = np.zeros(0, np.int64)
+        return fused, ambig_rows
+
+    def dispatch_packed(self, p1, a1, lens1, p2, a2, lens2,
+                        exclude_groups=None, wire=None):
+        """Enqueue the device program; returns on-device outputs without
+        blocking (JAX dispatch is async), enabling host/device overlap —
+        the TPU counterpart of the reference's reader/worker thread overlap
+        (src/querying.h:749-830). Runs the narrow fast-tier program over
+        the slim wire format; materialize() re-runs overflowing reads and
+        reads containing ambiguous characters at full legacy capacity.
+        `wire`: optional precompute_wire() result for this exact batch."""
+        eg = None if exclude_groups is None else np.asarray(exclude_groups)
+        sfmt = self._main_sfmt()
+        fused, ambig_rows = wire if wire is not None else \
+            self.precompute_wire(p1, a1, lens1, p2, a2, lens2)
         out = self._dispatch_tier(fused, exclude_groups, self.lmax_fast,
                                   direct_mb=self._direct_mb,
                                   wire=self._wire, sfmt=sfmt)
