@@ -446,7 +446,7 @@ def measure_realistic() -> dict:
             total += m
             if trial == 0:
                 overflow += int((res.match_overflow[:m] > 0).sum())
-                rerun += sum(len(rows) for rows, _ in res._patches)
+                rerun += sum(len(rows) for rows, _, _ in res._patches)
         wall = _t.time() - t0
         log(f"realistic trial {trial}: {total} pairs in {wall:.2f}s = "
             f"{total/wall:.0f} pairs/s")

@@ -154,15 +154,26 @@ def _expand_slots(start, cum_ex, lmax: int):
         is_stable=False)
     is_item = s_flag == 0
 
-    # carry the most recent item's payload forward: cummax of the last
-    # item slot index + one aligned gather — a generic
-    # lax.associative_scan(carry_combine) bloats the TPU executable ~6x
-    # (round-3 size probe; exe size sets the program-load cost)
+    # carry the most recent item's payload forward with a log-shift
+    # fill-forward scan (Hillis-Steele over the "rightmost valid" operator):
+    # position i without a value yet takes position i-s's value if that one
+    # has found its carry within its own 2^log-step lookback. Pure
+    # elementwise selects — the lax.cummax + take_along_axis formulation
+    # this replaces compiled to ~8.6 MB of generated code at [8192, 96+256]
+    # (round-3 size probe; exe size sets the tunneled device's program-load
+    # AND degraded-mode re-ship cost), this one to ~0.1 MB.
     W2 = NF + lmax
-    iota = jnp.broadcast_to(jnp.arange(W2, dtype=jnp.int32)[None, :],
-                            (B, W2))
-    last_idx = jax.lax.cummax(jnp.where(is_item, iota, -1), axis=1)
-    pay = jnp.take_along_axis(s_pay, jnp.maximum(last_idx, 0), axis=1)
+    pay = jnp.where(is_item, s_pay, 0)
+    have = is_item
+    s = 1
+    while s < W2:
+        pv = jnp.concatenate([jnp.zeros((B, s), pay.dtype),
+                              pay[:, :-s]], axis=1)
+        hv = jnp.concatenate([jnp.zeros((B, s), jnp.bool_),
+                              have[:, :-s]], axis=1)
+        pay = jnp.where(have, pay, pv)
+        have = have | hv
+        s <<= 1
     # return query slots to slot order: queries (flag 1) land in the last
     # lmax columns sorted by slot id
     _, _, back = jax.lax.sort((s_flag, s_pos, pay), dimension=1, num_keys=2,

@@ -335,10 +335,12 @@ class BatchResult:
         self._out = out
         self._has_twh = has_target_window_hits
         self._cache: Dict[str, Optional[np.ndarray]] = {}
-        # patch tiers: [(row_indices, full-width out dict), ...] — rows
-        # re-classified through the legacy full-capacity program (fast-tier
-        # overflow, or ambiguous-character reads under the slim wire
-        # format); their results overwrite the fast-tier rows on access
+        # patch tiers: [(row_indices, full-width out dict, offset), ...] —
+        # rows re-classified through the legacy full-capacity program
+        # (fast-tier overflow, or ambiguous-character reads under the slim
+        # wire format); their results overwrite the fast-tier rows on
+        # access. `offset` is where this batch's rows start inside the
+        # (possibly cross-batch coalesced) re-run dispatch.
         self._patches: List = []
 
     def __getattr__(self, name):
@@ -359,11 +361,11 @@ class BatchResult:
                                                np.int32)
             if patches:
                 d = {f: np.array(v) for f, v in d.items()}
-                for rows, patch_out in patches:
+                for rows, patch_out, off in patches:
                     pd = _decode_summary_host(patch_out)
                     for f in d:
                         if f in pd:
-                            d[f][rows] = pd[f][:len(rows)]
+                            d[f][rows] = pd[f][off:off + len(rows)]
             cache.update(d)
             cache["_sum_done"] = True
             if name in cache:
@@ -379,11 +381,11 @@ class BatchResult:
             v = _to_host(v)
             if patches:
                 v = np.array(v)
-                for rows, patch_out in patches:
+                for rows, patch_out, off in patches:
                     pv = patch_out
                     for k in path:
                         pv = pv[k]
-                    v[rows] = _to_host(pv)[:len(rows)]
+                    v[rows] = _to_host(pv)[off:off + len(rows)]
             cache[name] = v
         return cache[name]
 
@@ -664,32 +666,84 @@ class QueryEngine:
             or (self._direct_mb == 0 and self.lmax_fast < self.lmax_full))
         return out
 
-    def _legacy_rerun(self, res: BatchResult, out, rows: np.ndarray):
-        """Re-classify the given rows through the full-width legacy-wire
-        program and patch them into the result."""
-        p1, a1, lens1, p2, a2, lens2, eg = out["_inputs"]
-        if a1 is None or a2 is None:
-            # inputs arrived without ambiguity planes: synthesize empty
-            a1 = np.zeros((p1.shape[0], p1.shape[1] // 2), np.uint8)
-            a2 = np.zeros_like(a1)
+    def _rerun_rows(self, out, n: int) -> np.ndarray:
+        """Row indices of this batch that must re-run through the
+        full-width legacy program (fast-tier overflow + slim-wire
+        ambiguous reads)."""
+        rows = out.get("_ambig_rows")
+        rows = rows[rows < n] if rows is not None else np.zeros(0, np.int64)
+        if out.get("_need_overflow"):
+            ovf = _decode_summary_host(out).get("match_overflow")
+            if ovf is None:
+                ovf = np.asarray(_to_host(out["match_overflow"]))
+            orows = np.nonzero(np.asarray(ovf)[:n] > 0)[0]
+            rows = np.union1d(rows, orows)
+        return np.asarray(rows, np.int64)
+
+    def _dispatch_reruns(self, specs):
+        """Re-classify rows through the full-width legacy-wire program,
+        COALESCING rows across batches into full rerun-batch dispatches.
+
+        specs: [(res, out, rows), ...]. Without coalescing, a dispatch
+        window whose every batch overflows a few rows pays one full-width
+        dispatch PER BATCH (~3% occupancy on the realistic workload);
+        packing rows across batches cuts the number of heavy-program
+        executions by that same factor — on the tunneled device each
+        execution can cost ~exe_size/40 MB/s in degraded weather (PERF.md),
+        so rerun occupancy dominates the realistic workload's cost."""
         RB = self._rerun_batch
-        for c0 in range(0, len(rows), RB):
-            sel = rows[c0:c0 + RB]
-            pad = RB - len(sel)
+        prep = []
+        for res, out, rows in specs:
+            p1, a1, l1, p2, a2, l2, eg = out["_inputs"]
+            if a1 is None or a2 is None:
+                # inputs arrived without ambiguity planes: synthesize empty
+                a1 = np.zeros((p1.shape[0], p1.shape[1] // 2), np.uint8)
+                a2 = np.zeros_like(a1)
+            prep.append((res, rows, (p1, a1, l1, p2, a2, l2), eg))
+        any_eg = any(eg is not None for _, _, _, eg in prep)
+        # pack (batch, row-subrange) spans into RB-row chunks
+        chunks, cur, fill = [], [], 0
+        for pi, (_, rows, _, _) in enumerate(prep):
+            o = 0
+            while o < len(rows):
+                take = min(RB - fill, len(rows) - o)
+                cur.append((pi, rows[o:o + take]))
+                fill += take
+                o += take
+                if fill == RB:
+                    chunks.append(cur)
+                    cur, fill = [], 0
+        if cur:
+            chunks.append(cur)
+        for chunk in chunks:
+            parts = [[] for _ in range(6)]
+            eg_parts = []
+            total = 0
+            for pi, sub in chunk:
+                _, _, fields, eg = prep[pi]
+                for fi, f in enumerate(fields):
+                    parts[fi].append(f[sub])
+                if any_eg:
+                    eg_parts.append(eg[sub] if eg is not None
+                                    else np.zeros(len(sub), np.int32))
+                total += len(sub)
+            pad = RB - total
 
-            def take(x):
-                s = x[sel]
+            def cat(lst):
+                a = np.concatenate(lst) if len(lst) > 1 else lst[0]
                 if pad:
-                    s = np.concatenate(
-                        [s, np.zeros((pad,) + x.shape[1:], x.dtype)])
-                return s
+                    a = np.concatenate(
+                        [a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+                return a
 
-            fused2 = fuse_host_inputs(take(p1), take(a1), take(lens1),
-                                      take(p2), take(a2), take(lens2))
+            fused2 = fuse_host_inputs(*(cat(p) for p in parts))
             out2 = self._dispatch_tier(
-                fused2, None if eg is None else take(eg),
+                fused2, cat(eg_parts) if any_eg else None,
                 self.lmax_full, wire="legacy", sfmt="s4")
-            res._patches.append((sel, out2))
+            off = 0
+            for pi, sub in chunk:
+                prep[pi][0]._patches.append((sub, out2, off))
+                off += len(sub)
 
     def materialize(self, out, n: int) -> BatchResult:
         """Wrap a dispatched batch; fields transfer lazily on access.
@@ -702,16 +756,9 @@ class QueryEngine:
         max_locations_per_query, exactly as in a single-tier run."""
         res = BatchResult(n, out,
                           has_target_window_hits=bool(self.target_window_k))
-        rows = out.get("_ambig_rows")
-        rows = rows[rows < n] if rows is not None else np.zeros(0, np.int64)
-        if out.get("_need_overflow"):
-            ovf = _decode_summary_host(out).get("match_overflow")
-            if ovf is None:
-                ovf = np.asarray(_to_host(out["match_overflow"]))
-            orows = np.nonzero(np.asarray(ovf)[:n] > 0)[0]
-            rows = np.union1d(rows, orows)
+        rows = self._rerun_rows(out, n)
         if len(rows):
-            self._legacy_rerun(res, out, np.asarray(rows))
+            self._dispatch_reruns([(res, out, rows)])
         return res
 
     def materialize_many(self, items) -> List[BatchResult]:
@@ -720,8 +767,9 @@ class QueryEngine:
         All pending summaries are stacked ON DEVICE and fetched in ONE
         device->host transfer (each transfer costs a full round trip
         through a tunneled TPU — the per-batch bottleneck, PERF.md); the
-        overflow re-runs of all batches are then dispatched together and
-        their summaries fetched in one more stacked transfer.
+        overflow/ambiguity re-runs of ALL batches are then coalesced into
+        full rerun-batch dispatches (_dispatch_reruns) and their summaries
+        fetched in one more stacked transfer.
 
         items: [(out, n), ...] as returned by dispatch_packed.
         """
@@ -730,13 +778,29 @@ class QueryEngine:
             host = np.asarray(jnp.stack([o["summary"] for o in outs]))
             for o, h in zip(outs, host):
                 o["_summary_host"] = h
-        results = [self.materialize(o, n) for (o, n) in items]
-        patches = [p for r in results for p in r._patches]
-        if patches and all("summary" in p[1] for p in patches):
-            ph = np.asarray(jnp.stack([p[1]["summary"] for p in patches]))
-            for (rows, pout), h in zip(patches, ph):
-                pout["_summary_host"] = h
+        results = []
+        specs = []
+        for o, n in items:
+            res = BatchResult(
+                n, o, has_target_window_hits=bool(self.target_window_k))
+            results.append(res)
+            rows = self._rerun_rows(o, n)
+            if len(rows):
+                specs.append((res, o, rows))
+        if specs:
+            self._dispatch_reruns(specs)
+        pouts, seen = [], set()
+        for r in results:
+            for _, pout, _ in r._patches:
+                if id(pout) not in seen:
+                    seen.add(id(pout))
+                    pouts.append(pout)
+        if pouts and all("summary" in p for p in pouts):
+            ph = np.asarray(jnp.stack([p["summary"] for p in pouts]))
+            for p, h in zip(pouts, ph):
+                p["_summary_host"] = h
         return results
+
 
 
 def _rank_code(rank) -> int:

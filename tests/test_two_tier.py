@@ -82,3 +82,45 @@ def test_auto_fast_tier_sizing(crowded_db):
     c1, l1, c2, l2 = _batch(eng, genome, rng)
     res = eng.classify_batch(c1, l1, c2, l2, 32)
     assert int((res.best[:32] != 0).sum()) == 32
+
+
+def test_cross_batch_rerun_coalescing(crowded_db):
+    """materialize_many must pack overflow rows from MANY batches into few
+    full-occupancy rerun dispatches, and the patched results must equal a
+    single-tier run for every batch."""
+    db, genome, rng = crowded_db
+    classify = ClassifyParams(lowest_rank="species")
+    tiered = QueryEngine(
+        db, classify,
+        QueryPipelineParams(batch_size=32, max_query_len=128,
+                            max_locations_per_query=2048,
+                            fast_locations_per_query=64,
+                            fast_bucket_cap=-1))
+    single = QueryEngine(
+        db, classify,
+        QueryPipelineParams(batch_size=32, max_query_len=128,
+                            max_locations_per_query=2048,
+                            fast_locations_per_query=2048,
+                            fast_bucket_cap=-1))
+    tiered._rerun_batch = 64          # force multi-batch packing at n=32
+    batches = [_batch(tiered, genome, rng) for _ in range(5)]
+    pending = []
+    for c1, l1, c2, l2 in batches:
+        from metacache_tpu.ops import encode
+        p1, a1 = encode.np_pack_codes(c1)
+        p2, a2 = encode.np_pack_codes(c2)
+        pending.append((tiered.dispatch_packed(p1, a1, l1, p2, a2, l2), 32))
+    results = tiered.materialize_many(pending)
+    # count DISTINCT rerun dispatches: every read overflows (crowded DB),
+    # 5 batches x 32 rows at RB=64 -> ceil(160/64) = 3 dispatches, and at
+    # least one dispatch must serve rows of more than one batch
+    pouts = {id(p) for r in results for _, p, _ in r._patches}
+    total_rows = sum(len(rows) for r in results for rows, _, _ in r._patches)
+    assert total_rows == 160
+    assert len(pouts) == 3
+    for res, (c1, l1, c2, l2) in zip(results, batches):
+        ref = single.classify_batch(c1, l1, c2, l2, 32)
+        np.testing.assert_array_equal(res.best[:32], ref.best[:32])
+        np.testing.assert_array_equal(res.best_rank[:32], ref.best_rank[:32])
+        np.testing.assert_array_equal(res.cand_tax[:32], ref.cand_tax[:32])
+        assert int(res.match_overflow[:32].sum()) == 0
