@@ -17,6 +17,16 @@ The TPU-native replacement for the reference's MPI query distribution
 The merge is associative/commutative (max hits per taxon), so results are
 shard-count invariant (each target's matches live wholly on one shard).
 
+The host-side machinery — slim wire format (2-bit packed bases + short
+lengths in ONE fused buffer), packed one-word summaries, and the two-tier
+dispatch whose overflow/ambiguity re-runs are coalesced across batches —
+is inherited from query.engine.EngineBase, so the sharded engine ships the
+same minimal wire as the single-chip engine: per-shard overflow counts are
+psum'd and overflowing reads re-run through the full-width sharded program
+(the reference's unbounded per-rank location vectors, querying.h:804-833,
+make the cap a TPU-side fixed-shape knob; re-runs keep it semantically
+invisible below max_locations_per_query).
+
 Every per-read feature of the single-chip engine is available here with
 identical semantics (the local pipeline is literally the same function,
 query.engine.local_candidates): clade exclusion, the packed-location
@@ -41,9 +51,11 @@ from ..db.database import Database
 from ..db.taxonomy import Rank
 from ..ops import candidates as cand_ops
 from ..ops import classify_op, lookup
-from ..query.engine import (BatchResult, _rank_code, _window_starts_static,
+from ..query.engine import (BatchResult, EngineBase, _rank_code,
+                            _window_starts_static, choose_direct_cap,
                             local_candidates, make_target_groups,
-                            target_window_hits)
+                            pack_summary_word, target_window_hits,
+                            unfuse_device_inputs, unfuse_device_inputs_slim)
 
 
 def make_mesh(devices=None, axis: str = "shard") -> Mesh:
@@ -81,12 +93,13 @@ def stack_shard_tables(dbs: List[Database], pad_keys_to=None,
             np.stack(wins), packed)
 
 
-class ShardedQueryEngine:
+class ShardedQueryEngine(EngineBase):
     """Query engine over a device mesh: one database shard per device.
 
     API-compatible with query.engine.QueryEngine (classify_batch,
-    dispatch_packed/materialize, set_exclusion, target_window_k).
-    """
+    dispatch_packed/materialize/materialize_many, set_exclusion,
+    target_window_k); the host-side wire/tier/re-run machinery is shared
+    (EngineBase)."""
 
     def __init__(self, dbs: List[Database], classify: ClassifyParams,
                  pipeline: QueryPipelineParams = QueryPipelineParams(),
@@ -140,6 +153,20 @@ class ShardedQueryEngine:
         packable = max(1, tb.bit_length()) + win_bits <= 31
         max_bucket = max((int(d.features.bucket_sizes().max())
                           if d.features.num_keys else 0) for d in dbs)
+        # direct fast tier: same cap heuristic as the single-chip engine,
+        # over the union of this host's shard bucket-size distributions;
+        # per-shard overflow is psum'd and overflowing reads re-run through
+        # the full-width sharded program (EngineBase._dispatch_reruns)
+        nf = 2 * len(self.starts) * p.sketch_size
+        self.lmax_full = pipeline.max_locations_per_query
+        self.lmax_fast = self.lmax_full   # no narrow CSR tier: the direct
+        #                                   tier covers the fast path
+        self._rerun_batch = 1024
+        all_sizes = np.concatenate(
+            [d.features.bucket_sizes() for d in dbs]) if dbs else \
+            np.zeros(0, np.int64)
+        mb, _ = choose_direct_cap(all_sizes, nf, self.lmax_full,
+                                  pipeline.fast_bucket_cap)
         if multiproc:
             # all shards must pad to the same (global) table sizes, and the
             # unrolled-search step count / win_bits / direct-path bucket cap
@@ -147,26 +174,14 @@ class ShardedQueryEngine:
             from jax.experimental import multihost_utils
             g = multihost_utils.process_allgather(
                 np.array([pad_f, pad_l, win_bits, int(packable),
-                          max_bucket], np.int64))
+                          max_bucket, mb], np.int64))
             pad_f, pad_l = int(g[:, 0].max()), int(g[:, 1].max())
             win_bits = int(g[:, 2].max())
             packable = bool(g[:, 3].min())
             max_bucket = int(g[:, 4].max())
-        # direct fast lookup (ops/lookup.lookup_matches_direct): the sharded
-        # engine has no overflow re-run tier, so use it only when EXACT —
-        # the per-feature cap covers the global max bucket size and the
-        # resulting static match width stays below the legacy lmax
-        nf_width = 2 * len(self.starts) * p.sketch_size * max(1, max_bucket)
-        if pipeline.fast_bucket_cap > 0:
-            import warnings
-            warnings.warn(
-                "sharded engines have no overflow re-run tier and ignore a "
-                "positive fast_bucket_cap: the direct path is used only "
-                "when exact (cap = global max bucket size); pass -1 to "
-                "disable it")
-        self._direct_mb = max_bucket if (
-            pipeline.fast_bucket_cap >= 0 and max_bucket > 0
-            and nf_width <= pipeline.max_locations_per_query) else 0
+            mb = int(g[:, 5].max())
+        self._direct_mb = mb
+        self._direct_exact = mb >= max_bucket
         keys, offsets, tgts, wins, packed = stack_shard_tables(
             dbs, pad_keys_to=pad_f, pad_locs_to=pad_l,
             win_bits=win_bits if packable else 0)
@@ -207,6 +222,15 @@ class ShardedQueryEngine:
         # scalar creation costs two extra host->device copies per batch)
         self._hits_min_dev = jnp.int32(self.hits_min)
         self._hits_diff_dev = jnp.float32(classify.hits_diff_fraction)
+        # wire/summary formats (see QueryEngine: sized for the tunnel
+        # bandwidth bottleneck; ambiguous reads re-run via the legacy tier)
+        qlen = pipeline.max_query_len
+        self._wire = "legacy" if os.environ.get(
+            "METACACHE_WIRE") == "legacy" or qlen % 8 != 0 else "slim"
+        self._len_bytes = 1 if qlen <= 255 else 2
+        n_nodes = int(self.db.taxonomy.ranked_lineage.shape[0])
+        n_ranks = int(self.db.taxonomy.ranked_lineage.shape[1])
+        self._pack_ok = n_nodes < (1 << 26) and n_ranks + 1 < 32
 
     # ------------------------------------------------------------------
     def set_exclusion(self, rank_code: int):
@@ -222,10 +246,10 @@ class ShardedQueryEngine:
             return 0
         return int(self.db.taxonomy.ranked_lineage[node, self.exclude_rank])
 
-    def _build_fn(self, with_exclusion: bool):
+    def _build_fn(self, with_exclusion: bool, lmax: int, direct_mb: int,
+                  wire: str, sfmt: str):
         p = self.sketch_params
         starts = self.starts
-        lmax = self.pipeline.max_locations_per_query
         C = self.classify.max_candidates
         highest = self.highest_rank
         insert_max = self.classify.insert_size_max
@@ -236,14 +260,19 @@ class ShardedQueryEngine:
         win_bits = self._win_bits
         twk = self.target_window_k
         has_packed = self._loc_packed is not None
+        qlen = self.pipeline.max_query_len
+        len_bytes = self._len_bytes
 
-        direct_mb = self._direct_mb
-
-        def shard_fn(packed1, ambig1, lens1, packed2, ambig2, lens2,
-                     keys, offsets, loc_tgt, loc_win, loc_packed, buckets,
-                     start_tbl, cnt_tbl,
+        def shard_fn(fused, keys, offsets, loc_tgt, loc_win, loc_packed,
+                     buckets, start_tbl, cnt_tbl,
                      tct, lineage, hits_min, hits_diff,
                      exclude_groups, target_groups):
+            if wire == "slim":
+                packed1, ambig1, lens1, packed2, ambig2, lens2 = \
+                    unfuse_device_inputs_slim(fused, qlen, len_bytes)
+            else:
+                packed1, ambig1, lens1, packed2, ambig2, lens2 = \
+                    unfuse_device_inputs(fused, qlen)
             # local shard block: leading axis of size 1
             cand, tgt, win, total, overflow = local_candidates(
                 packed1, ambig1, lens1, packed2, ambig2, lens2,
@@ -275,10 +304,14 @@ class ShardedQueryEngine:
             ovf = jax.lax.psum(overflow, "shard")
             tot = jax.lax.psum(total, "shard")
             # fused summary: one device->host transfer serves the default
-            # output path (see query.engine.BatchResult). The direct path
-            # is only enabled when exact (overflow provably zero), so it
-            # ships the slim [2, B] form.
-            if direct_mb:
+            # output path (see query.engine.BatchResult); packed formats
+            # fold (rank << 26 | node) into one int32 word per read
+            if sfmt == "p1":
+                summary = pack_summary_word(best, best_rank)[None, :]
+            elif sfmt == "p2":
+                summary = jnp.stack([pack_summary_word(best, best_rank),
+                                     ovf])
+            elif sfmt == "s2":
                 summary = jnp.stack([best, best_rank])
             else:
                 summary = jnp.stack([best, best_rank, tot, ovf])
@@ -293,7 +326,7 @@ class ShardedQueryEngine:
         mesh = self.mesh
         fn = jax.shard_map(
             shard_fn, mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P(), P(),   # reads replicated
+            in_specs=(P(),                            # fused reads replicated
                       P("shard"), P("shard"), P("shard"), P("shard"),
                       P("shard"), P("shard"), P("shard"), P("shard"),
                       P(), P(), P(), P(), P(), P()),
@@ -301,33 +334,17 @@ class ShardedQueryEngine:
             check_vma=False)
         return jax.jit(fn)
 
-    def make_host_buffers(self):
-        B, L = self.pipeline.batch_size, self.pipeline.max_query_len
-        return (np.zeros((B, L), np.uint8), np.zeros(B, np.int32),
-                np.zeros((B, L), np.uint8), np.zeros(B, np.int32))
-
-    def classify_batch(self, codes1, lens1, codes2, lens2, n: int,
-                       exclude_groups=None) -> BatchResult:
-        from ..ops import encode as _enc
-        p1, a1 = _enc.np_pack_codes(codes1)
-        p2, a2 = _enc.np_pack_codes(codes2)
-        return self.classify_batch_packed(p1, a1, lens1, p2, a2, lens2, n,
-                                          exclude_groups=exclude_groups)
-
-    def classify_batch_packed(self, p1, a1, lens1, p2, a2, lens2, n: int,
-                              exclude_groups=None) -> BatchResult:
-        out = self.dispatch_packed(p1, a1, lens1, p2, a2, lens2,
-                                   exclude_groups=exclude_groups)
-        return self.materialize(out, n)
-
-    def dispatch_packed(self, p1, a1, lens1, p2, a2, lens2,
-                        exclude_groups=None):
+    def _dispatch_tier(self, fused, exclude_groups, lmax: int,
+                       direct_mb: int = 0, wire: str = "legacy",
+                       sfmt: str = "s4"):
         with_excl = exclude_groups is not None
         if with_excl and self._target_groups is None:
             raise ValueError("call set_exclusion() before passing "
                              "exclude_groups")
-        if with_excl not in self._compiled:
-            self._compiled[with_excl] = self._build_fn(with_excl)
+        key = (with_excl, int(fused.shape[0]), lmax, direct_mb, wire, sfmt)
+        if key not in self._compiled:
+            self._compiled[key] = self._build_fn(with_excl, lmax,
+                                                 direct_mb, wire, sfmt)
         if jax.process_count() > 1:
             # every process streams the same reads (the reference's "all
             # ranks read the same block", querying.h:749-790) -> replicate
@@ -339,39 +356,19 @@ class ShardedQueryEngine:
         # sharded keys array (never read when has_packed is False)
         loc_packed = self._loc_packed if self._loc_packed is not None \
             else self._keys
-        eg = put(exclude_groups) if with_excl else None
+        eg = put(np.asarray(exclude_groups)) if with_excl else None
         tg = self._target_groups if with_excl else None
         merged, best, best_rank, tot, ovf, summary, twh = \
-            self._compiled[with_excl](
-            put(p1), put(a1), put(lens1),
-            put(p2), put(a2), put(lens2),
-            self._keys, self._offsets, self._loc_tgt, self._loc_win,
-            loc_packed, self._bucket_offsets,
-            self._start_tbl, self._cnt_tbl, self._tct, self._lineage,
-            self._hits_min_dev, self._hits_diff_dev,
-            eg, tg)
+            self._compiled[key](
+                put(fused),
+                self._keys, self._offsets, self._loc_tgt, self._loc_win,
+                loc_packed, self._bucket_offsets,
+                self._start_tbl, self._cnt_tbl, self._tct, self._lineage,
+                self._hits_min_dev, self._hits_diff_dev,
+                eg, tg)
         out = {"cand": merged, "best": best, "best_rank": best_rank,
                "match_total": tot, "match_overflow": ovf,
-               "summary": summary}
-        if self._direct_mb:
-            out["_zero_overflow"] = True
+               "summary": summary, "_sfmt": sfmt}
         if twh is not None:
             out["target_window_hits"] = twh
         return out
-
-    def materialize(self, out, n: int) -> BatchResult:
-        return BatchResult(n, out,
-                           has_target_window_hits=bool(self.target_window_k))
-
-    def materialize_many(self, items):
-        """One stacked summary transfer for several dispatched batches
-        (see QueryEngine.materialize_many)."""
-        outs = [o for o, _ in items]
-        if outs and all(
-                "summary" in o and getattr(o["summary"],
-                                           "is_fully_addressable", True)
-                for o in outs):
-            host = np.asarray(jnp.stack([o["summary"] for o in outs]))
-            for o, h in zip(outs, host):
-                o["_summary_host"] = h
-        return [self.materialize(o, n) for o, n in items]

@@ -428,142 +428,62 @@ def _to_host(arr) -> np.ndarray:
     return np.asarray(arr.addressable_shards[0].data)
 
 
-class QueryEngine:
-    """Holds device-resident database arrays + compiled pipeline."""
+def choose_direct_cap(sizes, nf: int, lmax_full: int, requested_cap: int):
+    """Static per-feature location cap for the direct fast tier.
 
-    def __init__(self, db: Database, classify: ClassifyParams,
-                 pipeline: QueryPipelineParams = QueryPipelineParams(),
-                 devices=None, target_window_k: int = 0):
-        self.db = db
-        self.classify = classify
-        self.pipeline = pipeline
-        self.target_window_k = target_window_k
-        p = db.query_sketch_params
-        self.sketch_params = p
-        # threshold deduced from the TARGET sketcher's size, like
-        # adapt_options_to_database (src/mode_query.cpp:247-260)
-        self.hits_min = classify.resolved_hits_min(
-            db.sketch_params.sketch_size)
-        self.lowest_rank = Rank.SEQUENCE if classify.lowest_rank is None \
-            else _rank_code(classify.lowest_rank)
-        self.highest_rank = _rank_code(classify.highest_rank)
-        self.starts = tuple(_window_starts_static(
-            pipeline.max_query_len, p.window_size, p.window_stride))
+    requested_cap: 0 = auto (smallest cap in {2,4,6,8,12,16} covering
+    >=99.5% of stored locations, or the exact max bucket when small);
+    -1 = disable; >0 = explicit. The static match width NF*cap must stay
+    within lmax_full: a wider direct program would classify reads
+    untruncated that a single-tier run truncates at lmax, silently
+    changing the documented truncation contract.
 
-        import os
-        # Pallas fused sketch kernel: bit-identical (tests/test_sketch_pallas)
-        # but measured slightly slower than the XLA formulation on v5e
-        # (2.5 vs 1.6 ms standalone — XLA fuses this stage well), so it is
-        # opt-in rather than default.
-        self._use_pallas = (jax.default_backend() == "tpu"
-                            and pipeline.batch_size % 256 == 0
-                            and bool(os.environ.get("METACACHE_PALLAS_SKETCH")))
-
-        # two-tier match-list capacity: batches run through a narrow fast
-        # program sized for the TYPICAL per-read match count; the rare reads
-        # that overflow it re-run through the full-width program (VERDICT
-        # round 1: "most reads need ≪2048 slots — two-tier dispatch").
-        self.lmax_full = pipeline.max_locations_per_query
-        fast = pipeline.fast_locations_per_query
-        if fast <= 0:
-            nf = 2 * len(self.starts) * p.sketch_size
-            sizes = db.features.bucket_sizes()
-            mean_b = float(sizes.mean()) if len(sizes) else 1.0
-            est = int(nf * mean_b * 2)           # 2x headroom over typical
-            fast = 1 << max(6, max(1, est - 1).bit_length())
-        self.lmax_fast = max(64, min(self.lmax_full, fast))
-        self._rerun_batch = 1024                 # overflow re-run shape
-
-        keys, offsets, loc_tgt, loc_win = db.features.device_arrays()
-        bucket_offsets, self._search_steps = lookup.build_radix_index(keys)
-        self._bucket_offsets = jnp.asarray(bucket_offsets)
-        self._keys = jnp.asarray(keys)
-        self._offsets = jnp.asarray(offsets)
-        self._loc_tgt = jnp.asarray(loc_tgt)
-        self._loc_win = jnp.asarray(loc_win)
-
-        # direct fast-tier lookup: flat (start, cnt) tables + a static
-        # per-feature location cap covering >=99.5% of stored locations
-        # (heavier buckets route their reads to the full-width re-run).
-        # The static match width NF*cap must stay within
-        # max_locations_per_query: a wider direct program would classify
-        # reads untruncated that a single-tier run truncates at lmax,
-        # silently changing the documented truncation contract (and the
-        # sharded engine applies the same guard, parallel/sharding.py).
-        cap = pipeline.fast_bucket_cap
-        nf = 2 * len(self.starts) * p.sketch_size
-        cap_limit = max(1, self.lmax_full // nf)
-        sizes = np.diff(np.asarray(offsets))
-        max_bucket = int(sizes.max()) if len(sizes) else 0
-        if cap == 0 and len(sizes):
-            if max_bucket <= min(16, cap_limit):
-                # small max bucket: cover it exactly — no overflow re-runs
-                # AND no synchronous per-batch overflow pull (a device->host
-                # round trip costs up to ~100 ms through a tunneled TPU)
-                cap = max_bucket
-            else:
-                tot = float(sizes.sum())
-                cap = -1
-                for c in (2, 4, 6, 8, 12, 16):
-                    if c > cap_limit:
-                        break
-                    cap = c
-                    if np.minimum(sizes, c).sum() >= 0.995 * tot:
-                        break
-        elif cap > cap_limit:
-            import warnings
-            warnings.warn(
-                f"fast_bucket_cap {cap} exceeds max_locations_per_query/"
-                f"NF = {cap_limit}; disabling the direct fast tier to "
-                f"preserve the truncation contract")
+    Returns (mb, exact): mb == 0 disables the direct tier; exact means the
+    cap covers the table's max bucket (no read can ever overflow).
+    """
+    cap_limit = max(1, lmax_full // nf)
+    max_bucket = int(sizes.max()) if len(sizes) else 0
+    cap = requested_cap
+    if cap == 0 and len(sizes):
+        if max_bucket <= min(16, cap_limit):
+            # small max bucket: cover it exactly — no overflow re-runs
+            # AND no synchronous per-batch overflow pull (a device->host
+            # round trip costs up to ~100 ms through a tunneled TPU)
+            cap = max_bucket
+        else:
+            tot = float(sizes.sum())
             cap = -1
-        self._direct_mb = 0 if cap < 0 else int(min(cap, max(1, max_bucket)))
-        self._direct_exact = self._direct_mb >= max_bucket
-        self._start_tbl = jnp.asarray(offsets[:-1].astype(np.int32))
-        self._cnt_tbl = jnp.asarray(sizes.astype(np.int32))
-        packed, self._win_bits = db.features.packed_locations()
-        self._loc_packed = None if packed is None else jnp.asarray(packed)
-        self._tct = jnp.asarray(db.target_cand_tax(self.lowest_rank))
-        self._lineage = jnp.asarray(db.taxonomy.ranked_lineage)
-        # classification thresholds as device-resident scalars: creating
-        # them per dispatch costs two extra host->device copies per batch,
-        # and per-copy LATENCY through the tunneled device (tens of ms in
-        # bad weather) serializes against executions
-        self._hits_min_dev = jnp.int32(self.hits_min)
-        self._hits_diff_dev = jnp.float32(classify.hits_diff_fraction)
+            for c in (2, 4, 6, 8, 12, 16):
+                if c > cap_limit:
+                    break
+                cap = c
+                if np.minimum(sizes, c).sum() >= 0.995 * tot:
+                    break
+    elif cap > cap_limit:
+        import warnings
+        warnings.warn(
+            f"fast_bucket_cap {cap} exceeds max_locations_per_query/"
+            f"NF = {cap_limit}; disabling the direct fast tier to "
+            f"preserve the truncation contract")
+        cap = -1
+    mb = 0 if cap < 0 else int(min(cap, max(1, max_bucket)))
+    return mb, mb >= max_bucket
 
-        # wire/summary formats: slim wire (no ambiguity plane, short
-        # lengths) + packed one-word summaries, both sized for the
-        # tunnel-bandwidth bottleneck. METACACHE_WIRE=legacy restores the
-        # round-2 format (bit-identical results either way — ambiguous
-        # reads re-run through the legacy program, tests/test_slim_wire).
-        qlen = pipeline.max_query_len
-        self._wire = "legacy" if os.environ.get(
-            "METACACHE_WIRE") == "legacy" or qlen % 8 != 0 else "slim"
-        self._len_bytes = 1 if qlen <= 255 else 2
-        n_nodes = int(db.taxonomy.ranked_lineage.shape[0])
-        n_ranks = int(db.taxonomy.ranked_lineage.shape[1])
-        self._pack_ok = n_nodes < (1 << 26) and n_ranks + 1 < 32
 
-    # ------------------------------------------------------------- batching
+class EngineBase:
+    """Host-side engine machinery shared by the single-chip QueryEngine and
+    the multi-chip ShardedQueryEngine: wire formats (slim/legacy fused input
+    buffers), packed result summaries, two-tier dispatch with cross-batch
+    coalesced overflow re-runs, and lazy batch materialization.
+
+    Subclasses provide __init__ (device-resident tables + tier parameters)
+    and _dispatch_tier(fused, exclude_groups, lmax, direct_mb, wire, sfmt)
+    -> out dict with "summary" (+ "_sfmt")."""
+
     def make_host_buffers(self):
         B, L = self.pipeline.batch_size, self.pipeline.max_query_len
         return (np.zeros((B, L), np.uint8), np.zeros(B, np.int32),
                 np.zeros((B, L), np.uint8), np.zeros(B, np.int32))
-
-    def set_exclusion(self, rank_code: int):
-        """Enable clade exclusion on the given rank: per-read exclusion
-        groups must then be passed to classify_batch."""
-        anc = self.db.taxonomy.ranked_lineage[:, rank_code].astype(np.int32)
-        groups = np.zeros(self.db.target_count + 1, np.int32)
-        groups[:-1] = anc[self.db.target_taxon_node]
-        self._target_groups = jnp.asarray(groups)
-        self.exclude_rank = rank_code
-
-    def exclusion_group_of(self, node: int) -> int:
-        if node == 0:
-            return 0
-        return int(self.db.taxonomy.ranked_lineage[node, self.exclude_rank])
 
     def classify_batch(self, codes1, lens1, codes2, lens2, n: int,
                        exclude_groups=None) -> BatchResult:
@@ -580,38 +500,6 @@ class QueryEngine:
         out = self.dispatch_packed(p1, a1, lens1, p2, a2, lens2,
                                    exclude_groups=exclude_groups)
         return self.materialize(out, n)
-
-    def _dispatch_tier(self, fused, exclude_groups, lmax: int,
-                       direct_mb: int = 0, wire: str = "legacy",
-                       sfmt: str = "s4"):
-        out = _query_batch_device(
-            jnp.asarray(fused),
-            self._keys, self._offsets, self._loc_tgt, self._loc_win,
-            self._tct, self._lineage,
-            self._hits_min_dev, self._hits_diff_dev,
-            exclude_groups if exclude_groups is None
-            else jnp.asarray(exclude_groups),
-            None if exclude_groups is None else self._target_groups,
-            self._bucket_offsets,
-            self._loc_packed,
-            self._start_tbl, self._cnt_tbl,
-            k=self.sketch_params.kmer_size,
-            sketch_size=self.sketch_params.sketch_size,
-            window_size=self.sketch_params.window_size,
-            window_stride=self.sketch_params.window_stride,
-            starts=self.starts,
-            lmax=lmax,
-            max_candidates=self.classify.max_candidates,
-            highest_rank=self.highest_rank,
-            insert_size_max=self.classify.insert_size_max,
-            qlen=self.pipeline.max_query_len,
-            target_window_k=self.target_window_k,
-            search_steps=self._search_steps,
-            use_pallas_sketch=self._use_pallas,
-            win_bits=self._win_bits, direct_mb=direct_mb,
-            wire=wire, sfmt=sfmt, len_bytes=self._len_bytes)
-        out["_sfmt"] = sfmt
-        return out
 
     def _main_sfmt(self) -> str:
         if not self._pack_ok:
@@ -774,7 +662,10 @@ class QueryEngine:
         items: [(out, n), ...] as returned by dispatch_packed.
         """
         outs = [o for o, _ in items]
-        if outs and all("summary" in o for o in outs):
+        if outs and all(
+                "summary" in o and getattr(o["summary"],
+                                           "is_fully_addressable", True)
+                for o in outs):
             host = np.asarray(jnp.stack([o["summary"] for o in outs]))
             for o, h in zip(outs, host):
                 o["_summary_host"] = h
@@ -795,12 +686,156 @@ class QueryEngine:
                 if id(pout) not in seen:
                     seen.add(id(pout))
                     pouts.append(pout)
-        if pouts and all("summary" in p for p in pouts):
+        if pouts and all(
+                "summary" in p and getattr(p["summary"],
+                                           "is_fully_addressable", True)
+                for p in pouts):
             ph = np.asarray(jnp.stack([p["summary"] for p in pouts]))
             for p, h in zip(pouts, ph):
                 p["_summary_host"] = h
         return results
 
+
+
+
+class QueryEngine(EngineBase):
+    """Holds device-resident database arrays + compiled pipeline."""
+
+    def __init__(self, db: Database, classify: ClassifyParams,
+                 pipeline: QueryPipelineParams = QueryPipelineParams(),
+                 devices=None, target_window_k: int = 0):
+        self.db = db
+        self.classify = classify
+        self.pipeline = pipeline
+        self.target_window_k = target_window_k
+        p = db.query_sketch_params
+        self.sketch_params = p
+        # threshold deduced from the TARGET sketcher's size, like
+        # adapt_options_to_database (src/mode_query.cpp:247-260)
+        self.hits_min = classify.resolved_hits_min(
+            db.sketch_params.sketch_size)
+        self.lowest_rank = Rank.SEQUENCE if classify.lowest_rank is None \
+            else _rank_code(classify.lowest_rank)
+        self.highest_rank = _rank_code(classify.highest_rank)
+        self.starts = tuple(_window_starts_static(
+            pipeline.max_query_len, p.window_size, p.window_stride))
+
+        import os
+        # Pallas fused sketch kernel: bit-identical (tests/test_sketch_pallas)
+        # but measured slightly slower than the XLA formulation on v5e
+        # (2.5 vs 1.6 ms standalone — XLA fuses this stage well), so it is
+        # opt-in rather than default.
+        self._use_pallas = (jax.default_backend() == "tpu"
+                            and pipeline.batch_size % 256 == 0
+                            and bool(os.environ.get("METACACHE_PALLAS_SKETCH")))
+
+        # two-tier match-list capacity: batches run through a narrow fast
+        # program sized for the TYPICAL per-read match count; the rare reads
+        # that overflow it re-run through the full-width program (VERDICT
+        # round 1: "most reads need ≪2048 slots — two-tier dispatch").
+        self.lmax_full = pipeline.max_locations_per_query
+        fast = pipeline.fast_locations_per_query
+        if fast <= 0:
+            nf = 2 * len(self.starts) * p.sketch_size
+            sizes = db.features.bucket_sizes()
+            mean_b = float(sizes.mean()) if len(sizes) else 1.0
+            est = int(nf * mean_b * 2)           # 2x headroom over typical
+            fast = 1 << max(6, max(1, est - 1).bit_length())
+        self.lmax_fast = max(64, min(self.lmax_full, fast))
+        self._rerun_batch = 1024                 # overflow re-run shape
+
+        keys, offsets, loc_tgt, loc_win = db.features.device_arrays()
+        bucket_offsets, self._search_steps = lookup.build_radix_index(keys)
+        self._bucket_offsets = jnp.asarray(bucket_offsets)
+        self._keys = jnp.asarray(keys)
+        self._offsets = jnp.asarray(offsets)
+        self._loc_tgt = jnp.asarray(loc_tgt)
+        self._loc_win = jnp.asarray(loc_win)
+
+        # direct fast-tier lookup: flat (start, cnt) tables + a static
+        # per-feature location cap covering >=99.5% of stored locations
+        # (heavier buckets route their reads to the full-width re-run).
+        # The static match width NF*cap must stay within
+        # max_locations_per_query: a wider direct program would classify
+        # reads untruncated that a single-tier run truncates at lmax,
+        # silently changing the documented truncation contract (and the
+        # sharded engine applies the same guard, parallel/sharding.py).
+        nf = 2 * len(self.starts) * p.sketch_size
+        sizes = np.diff(np.asarray(offsets))
+        self._direct_mb, self._direct_exact = choose_direct_cap(
+            sizes, nf, self.lmax_full, pipeline.fast_bucket_cap)
+        self._start_tbl = jnp.asarray(offsets[:-1].astype(np.int32))
+        self._cnt_tbl = jnp.asarray(sizes.astype(np.int32))
+        packed, self._win_bits = db.features.packed_locations()
+        self._loc_packed = None if packed is None else jnp.asarray(packed)
+        self._tct = jnp.asarray(db.target_cand_tax(self.lowest_rank))
+        self._lineage = jnp.asarray(db.taxonomy.ranked_lineage)
+        # classification thresholds as device-resident scalars: creating
+        # them per dispatch costs two extra host->device copies per batch,
+        # and per-copy LATENCY through the tunneled device (tens of ms in
+        # bad weather) serializes against executions
+        self._hits_min_dev = jnp.int32(self.hits_min)
+        self._hits_diff_dev = jnp.float32(classify.hits_diff_fraction)
+
+        # wire/summary formats: slim wire (no ambiguity plane, short
+        # lengths) + packed one-word summaries, both sized for the
+        # tunnel-bandwidth bottleneck. METACACHE_WIRE=legacy restores the
+        # round-2 format (bit-identical results either way — ambiguous
+        # reads re-run through the legacy program, tests/test_slim_wire).
+        qlen = pipeline.max_query_len
+        self._wire = "legacy" if os.environ.get(
+            "METACACHE_WIRE") == "legacy" or qlen % 8 != 0 else "slim"
+        self._len_bytes = 1 if qlen <= 255 else 2
+        n_nodes = int(db.taxonomy.ranked_lineage.shape[0])
+        n_ranks = int(db.taxonomy.ranked_lineage.shape[1])
+        self._pack_ok = n_nodes < (1 << 26) and n_ranks + 1 < 32
+
+    # ------------------------------------------------------------- batching
+    def set_exclusion(self, rank_code: int):
+        """Enable clade exclusion on the given rank: per-read exclusion
+        groups must then be passed to classify_batch."""
+        anc = self.db.taxonomy.ranked_lineage[:, rank_code].astype(np.int32)
+        groups = np.zeros(self.db.target_count + 1, np.int32)
+        groups[:-1] = anc[self.db.target_taxon_node]
+        self._target_groups = jnp.asarray(groups)
+        self.exclude_rank = rank_code
+
+    def exclusion_group_of(self, node: int) -> int:
+        if node == 0:
+            return 0
+        return int(self.db.taxonomy.ranked_lineage[node, self.exclude_rank])
+
+    def _dispatch_tier(self, fused, exclude_groups, lmax: int,
+                       direct_mb: int = 0, wire: str = "legacy",
+                       sfmt: str = "s4"):
+        out = _query_batch_device(
+            jnp.asarray(fused),
+            self._keys, self._offsets, self._loc_tgt, self._loc_win,
+            self._tct, self._lineage,
+            self._hits_min_dev, self._hits_diff_dev,
+            exclude_groups if exclude_groups is None
+            else jnp.asarray(exclude_groups),
+            None if exclude_groups is None else self._target_groups,
+            self._bucket_offsets,
+            self._loc_packed,
+            self._start_tbl, self._cnt_tbl,
+            k=self.sketch_params.kmer_size,
+            sketch_size=self.sketch_params.sketch_size,
+            window_size=self.sketch_params.window_size,
+            window_stride=self.sketch_params.window_stride,
+            starts=self.starts,
+            lmax=lmax,
+            max_candidates=self.classify.max_candidates,
+            highest_rank=self.highest_rank,
+            insert_size_max=self.classify.insert_size_max,
+            qlen=self.pipeline.max_query_len,
+            target_window_k=self.target_window_k,
+            search_steps=self._search_steps,
+            use_pallas_sketch=self._use_pallas,
+            win_bits=self._win_bits, direct_mb=direct_mb,
+            wire=wire, sfmt=sfmt, len_bytes=self._len_bytes)
+        out["_sfmt"] = sfmt
+        return out
 
 
 def _rank_code(rank) -> int:
