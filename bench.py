@@ -493,6 +493,277 @@ def measure_realistic() -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Config-3 scale (BASELINE.json configs 3-4 / BuildGeneric_FT.sh territory):
+# ~5 Gbp of genomes (200 targets), 1M read pairs. First workload where the
+# external triple sort spills for real (~700M triples vs the 32M-triple
+# chunk budget) and the feature table leaves toy HBM fractions.
+# ---------------------------------------------------------------------------
+C3 = "/tmp/mc_bench_c3"
+C3_BASES = 50           # base genomes
+C3_VARIANTS = 4         # strains per base (incl. the base)
+C3_GLEN = 25_000_000    # 25 Mbp per genome -> 5.0 Gbp total
+C3_TP_LEN = 5_000
+C3_TP_COPIES = 5        # per genome -> transposon bucket hits the 254 cap
+C3_PAIRS = 1_048_576
+
+
+def make_config3_world():
+    os.makedirs(C3, exist_ok=True)
+    marker = os.path.join(C3, "world_ok")
+    if os.path.exists(marker):
+        return
+    log("generating config-3 world (5 Gbp, 1M pairs; one-time, ~3 min) ...")
+    from tests import util_mockdata as mock
+    rng = np.random.default_rng(77)
+    tp = rng.integers(0, 4, C3_TP_LEN).astype(np.int8)
+    nodes = [(1, 1, "no rank"), (2, 1, "superkingdom")]
+    names = {1: "root", 2: "Bacteria"}
+    for b in range(C3_BASES):
+        genus = 10 + b // 5
+        if (genus, 2, "genus") not in nodes:
+            nodes.append((genus, 2, "genus"))
+            names[genus] = f"Genus{b // 5}"
+        nodes.append((100 + b, genus, "species"))
+        names[100 + b] = f"Species{b}"
+    mock.write_ncbi_taxonomy(os.path.join(C3, "tax"), nodes, names)
+    # streaming generation: one genome in RAM at a time (5 GB total on
+    # disk); reads are sampled per genome as it is generated
+    reads_per_genome = C3_PAIRS // (C3_BASES * C3_VARIANTS)
+    span = np.arange(100)
+    r1_chunks, r2_chunks, read_ids = [], [], []
+    with open(os.path.join(C3, "genomes.fa"), "wb") as f:
+        gi = 0
+        for b in range(C3_BASES):
+            base = rng.integers(0, 4, C3_GLEN, dtype=np.int8)
+            for v in range(C3_VARIANTS):
+                g = base.copy()
+                if v:
+                    m = rng.random(C3_GLEN) < 0.02
+                    g[m] = rng.integers(0, 4, int(m.sum()), dtype=np.int8)
+                for _ in range(C3_TP_COPIES):
+                    p = int(rng.integers(0, C3_GLEN - C3_TP_LEN))
+                    g[p:p + C3_TP_LEN] = tp
+                sp = 100 + b
+                f.write(f">NC_{gi:06d}.1|taxid|{sp}| strain\n".encode())
+                f.write(_B[g].tobytes())
+                f.write(b"\n")
+                pos = rng.integers(0, C3_GLEN - 400, reads_per_genome)
+                a = g[pos[:, None] + span[None, :]]
+                c = g[pos[:, None] + 250 + span[None, :]]
+                for r in (a, c):
+                    m = rng.random(r.shape) < 0.015
+                    r[m] = rng.integers(0, 4, int(m.sum()), dtype=np.int8)
+                r1_chunks.append(a)
+                r2_chunks.append(c)
+                read_ids.extend([gi] * reads_per_genome)
+                gi += 1
+    a1 = _B[np.concatenate(r1_chunks)]
+    a2 = _B[np.concatenate(r2_chunks)]
+    perm = np.random.default_rng(5).permutation(len(read_ids))
+    ids = np.asarray(read_ids)[perm]
+    a1, a2 = a1[perm], a2[perm]
+    for mate, arr in (("1", a1), ("2", a2)):
+        with open(os.path.join(C3, f"reads_{mate}.fa"), "wb") as f:
+            for i in range(arr.shape[0]):
+                f.write(b">p%d_NC_%06d.1/%s\n" % (i, ids[i], mate.encode()))
+                f.write(arr[i].tobytes())
+                f.write(b"\n")
+    open(marker, "w").write("ok")
+
+
+def measure_config3() -> dict:
+    """Config-3 scale: CLI 2-shard build (+cache) + 1M-pair engine query.
+    The reference's numbers on the same world are cached in
+    BENCH_BASELINE.json (they take ~5 min once)."""
+    import time as _t
+    from metacache_tpu.utils.memory import vm_peak_mb
+    out = {}
+    gbp = C3_BASES * C3_VARIANTS * C3_GLEN / 1e9
+    cachef = os.path.join(C3, "c3_build.json")
+    dbbase = os.path.join(C3, "mydb")
+    from metacache_tpu.modes.build import main_mode_build
+    from metacache_tpu.modes.query import load_all_shards
+    from metacache_tpu.utils import ArgsParser
+    if os.path.exists(cachef) and os.path.exists(dbbase + "_0.npz"):
+        with open(cachef) as f:
+            out.update(json.load(f))
+        out["config3_build_cached"] = True
+    else:
+        log(f"config-3 build ({gbp:.1f} Gbp, 2 shards, one pass) ...")
+        t0 = _t.time()
+        main_mode_build(ArgsParser(
+            ["build", dbbase, os.path.join(C3, "genomes.fa"),
+             "-taxonomy", os.path.join(C3, "tax"),
+             "-num-shards", "2", "-silent"]))
+        wall = _t.time() - t0
+        out["config3_build_seconds"] = round(wall, 1)
+        out["config3_build_gbps"] = round(gbp / wall, 5)
+        out["config3_build_peak_rss_mb"] = round(vm_peak_mb() or 0, 1)
+        with open(cachef, "w") as f:
+            json.dump(out, f)
+        out["config3_build_cached"] = False
+        log(f"config-3 build: {gbp:.1f} Gbp in {wall:.0f}s = "
+            f"{out['config3_build_gbps']:.4f} Gbp/s "
+            f"(peak RSS {out['config3_build_peak_rss_mb']:.0f} MB)")
+    # --- reference on the same world (cached; ~5 min once) ---
+    ref = {}
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            ref = json.load(f)
+    refbin = "/tmp/refbuild/metacache_mpi2"
+    runstub = "/tmp/refbuild/run_stub.sh"
+    if "config3_ref_build_gbps" not in ref and os.path.exists(refbin) \
+            and os.environ.get("METACACHE_BENCH_C3_REF", "1") != "0":
+        log("reference on config-3 world (build + query, one-time) ...")
+        t0 = _t.time()
+        r = subprocess.run([runstub, "2", refbin, "build",
+                            os.path.join(C3, "refdb"),
+                            os.path.join(C3, "genomes.fa"),
+                            "-taxonomy", os.path.join(C3, "tax")],
+                           capture_output=True, text=True)
+        if r.returncode == 0:
+            ref["config3_ref_build_gbps"] = round(gbp / (_t.time() - t0), 5)
+            t0 = _t.time()
+            subprocess.run([runstub, "2", refbin, "query",
+                            os.path.join(C3, "refdb"),
+                            os.path.join(C3, "reads_1.fa"),
+                            os.path.join(C3, "reads_2.fa"),
+                            "-pairfiles", "-lowest", "species",
+                            "-query-limit", str(C3_PAIRS),
+                            "-out", os.path.join(C3, "ref_out.txt")],
+                           capture_output=True, text=True)
+            wall = _t.time() - t0
+            speed = None
+            try:
+                with open(os.path.join(C3, "ref_out.txt")) as f:
+                    for line in f:
+                        m = re.match(r"# speed:\s+([0-9.eE+]+) queries/min",
+                                     line)
+                        if m:
+                            speed = float(m.group(1)) / 60.0 / 2.0
+            except OSError:
+                pass
+            ref["config3_ref_pairs_per_sec"] = round(
+                speed if speed else C3_PAIRS / wall, 1)
+            with open(BASELINE_FILE, "w") as f:
+                json.dump(ref, f, indent=1)
+    # --- our query: 1M pairs through the pipelined engine ---
+    from metacache_tpu.config import ClassifyParams, QueryPipelineParams
+    from metacache_tpu.query.engine import QueryEngine
+    from metacache_tpu.native import NativeBatchReader
+    db = load_all_shards(dbbase)
+    sizes = db.features.bucket_sizes()
+    out["config3_features"] = int(db.features.num_keys)
+    out["config3_locations"] = int(db.features.num_locations)
+    out["config3_max_bucket"] = int(sizes.max())
+    log(f"config-3 DB: {out['config3_features']} features, "
+        f"{out['config3_locations']} locations, max bucket "
+        f"{out['config3_max_bucket']}, mean {float(sizes.mean()):.2f}")
+    pipeline = QueryPipelineParams(batch_size=8192, max_query_len=104,
+                                   max_locations_per_query=256)
+    eng = QueryEngine(db, ClassifyParams(lowest_rank="species"), pipeline)
+    out["config3_direct_mb"] = eng._direct_mb
+    out["config3_direct_tbl"] = eng._direct_tbl is not None
+    log("config-3 query: loading 1M pairs ...")
+    batches = list(NativeBatchReader(
+        os.path.join(C3, "reads_1.fa"), os.path.join(C3, "reads_2.fa"),
+        "files", pipeline.batch_size, pipeline.max_query_len))
+    wires = [eng.precompute_wire(b.packed1, b.ambig1, b.lens1,
+                                 b.packed2, b.ambig2, b.lens2)
+             for b in batches]
+    b0 = batches[0]   # queue-depth-1 first execution (see measure_tpu)
+    eng.materialize(eng.dispatch_packed(
+        b0.packed1, b0.ambig1, b0.lens1, b0.packed2, b0.ambig2, b0.lens2),
+        b0.n).best
+    warm = [(eng.dispatch_packed(b.packed1, b.ambig1, b.lens1,
+                                 b.packed2, b.ambig2, b.lens2), b.n)
+            for b in batches[:8]]
+    for res in eng.materialize_many(warm):
+        res.best
+    speeds, probes = [], []
+    n_classified = rerun = 0
+    for trial in range(3):
+        probes.append(weather_probe())
+        t0 = _t.time()
+        total = 0
+        pending = [(eng.dispatch_packed(
+            b.packed1, b.ambig1, b.lens1, b.packed2, b.ambig2, b.lens2,
+            wire=w), b.n) for b, w in zip(batches, wires)]
+        results = eng.materialize_many(pending)
+        for res, (_, m) in zip(results, pending):
+            total += m
+            if trial == 0:
+                n_classified += int((res.best[:m] != 0).sum())
+                rerun += sum(len(rows) for rows, _, _ in res._patches)
+            else:
+                res.best
+        wall = _t.time() - t0
+        log(f"config-3 trial {trial}: {total} pairs in {wall:.2f}s = "
+            f"{total/wall:.0f} pairs/s (probe {probes[-1]:.0f} MB/s)")
+        speeds.append(total / wall)
+    med = sorted(speeds)[len(speeds) // 2]
+    out["config3_pairs_per_sec"] = round(max(speeds), 1)
+    out["config3_median_pairs_per_sec"] = round(med, 1)
+    out["config3_h2d_probes_mbps"] = probes
+    out["config3_classified_frac"] = round(n_classified / C3_PAIRS, 4)
+    out["config3_rerun_rate"] = round(rerun / C3_PAIRS, 5)
+    out["config3_query_peak_rss_mb"] = round(vm_peak_mb() or 0, 1)
+    if ref.get("config3_ref_pairs_per_sec"):
+        out["config3_vs_baseline"] = round(
+            out["config3_pairs_per_sec"]
+            / ref["config3_ref_pairs_per_sec"], 3)
+    if ref.get("config3_ref_build_gbps") and out.get("config3_build_gbps"):
+        out["config3_build_vs_baseline"] = round(
+            out["config3_build_gbps"] / ref["config3_ref_build_gbps"], 3)
+    return out
+
+
+def measure_end_to_end() -> dict:
+    """Full CLI pipeline on the realistic world: native reader -> engine ->
+    per-read mapping output written to a file — directly comparable to the
+    reference's queries/min, which also includes parsing and formatting
+    (src/printing.cpp:622-641). Reuses the realistic DB and the engine
+    program already compiled (persistent cache) by measure_realistic."""
+    from metacache_tpu.modes.query import main_mode_query
+    from metacache_tpu.utils import ArgsParser
+    out = {}
+    outfile = os.path.join(BIG, "tpu_out.txt")
+    argv = ["query", os.path.join(BIG, "mydb"),
+            os.path.join(BIG, "reads_1.fa"), os.path.join(BIG, "reads_2.fa"),
+            "-pairfiles", "-lowest", "species",
+            "-batch-size", "8192", "-max-query-len", "104",
+            "-max-locations-per-query", "256",
+            "-out", outfile]
+    main_mode_query(ArgsParser(list(argv)))       # warmup (compile + IO)
+    probe = weather_probe()
+    t0 = time.time()
+    main_mode_query(ArgsParser(list(argv)))
+    wall = time.time() - t0
+    # count mapped output lines as the work product sanity check
+    n_lines = 0
+    with open(outfile) as f:
+        for line in f:
+            if not line.startswith("#"):
+                n_lines += 1
+    out["end_to_end_pairs_per_sec"] = round(BIG_PAIRS / wall, 1)
+    out["end_to_end_seconds"] = round(wall, 2)
+    out["end_to_end_h2d_probe_mbps"] = probe
+    out["end_to_end_output_lines"] = n_lines
+    log(f"end-to-end CLI: {BIG_PAIRS} pairs in {wall:.1f}s = "
+        f"{out['end_to_end_pairs_per_sec']:.0f} pairs/s "
+        f"({n_lines} mapping lines; probe {probe:.0f} MB/s)")
+    ref = {}
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            ref = json.load(f)
+    if ref.get("realistic_ref_pairs_per_sec"):
+        out["end_to_end_vs_baseline"] = round(
+            out["end_to_end_pairs_per_sec"]
+            / ref["realistic_ref_pairs_per_sec"], 3)
+    return out
+
+
 def main():
     make_world()
     ref_rps = measure_reference()
@@ -503,8 +774,15 @@ def main():
         try:
             make_realistic_world()
             build.update(measure_realistic())
+            build.update(measure_end_to_end())
         except Exception as e:
             log(f"realistic workload failed: {type(e).__name__}: {e}")
+    if os.environ.get("METACACHE_BENCH_C3", "1") != "0":
+        try:
+            make_config3_world()
+            build.update(measure_config3())
+        except Exception as e:
+            log(f"config-3 workload failed: {type(e).__name__}: {e}")
     vs = tpu_rps / ref_rps if ref_rps > 0 else 0.0
     print(json.dumps({
         "metric": "reads_classified_per_sec_per_chip",

@@ -150,24 +150,36 @@ class WindowBatcher:
                          w.astype(np.int32))
 
 
-def _native_sketch_path(path, p: SketchParams, triples, taxonomy,
+def _native_sketch_path(path, p: SketchParams, sorters: Dict, taxonomy,
                         target_nodes: List[int], seen_names, seq2taxid,
-                        num_shards: int, shard_id: int, progress) -> bool:
+                        num_shards: int, shard_ids: List[int],
+                        progress) -> bool:
     """Parse + sketch one input file through the native C++ hot loop
     (native.sketch_file: bit-identical to the device sketch pipeline,
-    tests/test_native_sketch.py). Returns False to fall back to the
-    python/device path: native unavailable, params out of native range, or
-    the file contains records the python loop would SKIP (empty sequences /
-    duplicate ids) — skipping shifts target numbering, which the native
-    pass assigned up front."""
+    tests/test_native_sketch.py), in ONE pass for every requested shard:
+    with a single shard the native pass gates records by
+    (t0+i) % num_shards == shard_id (add_target_distributed,
+    src/sketch_database.h:519-563); with several shards every record is
+    sketched once and its triples are routed host-side to the owning
+    shard's sorter — the reference's ranks parse concurrently in separate
+    processes (mode_build.cpp:559-617), a single-process multi-shard build
+    must not parse the input S times.
+
+    Returns False to fall back to the python/device path: native
+    unavailable, params out of native range, or the file contains records
+    the python loop would SKIP (empty sequences / duplicate ids) —
+    skipping shifts target numbering, which the native pass assigned up
+    front."""
     if os.environ.get("METACACHE_NO_NATIVE_BUILD"):
         return False
     from .. import native
+    one = len(shard_ids) == 1
     try:
         res = native.sketch_file(path, p.kmer_size, p.sketch_size,
                                  p.window_size, p.window_stride,
                                  t0=len(target_nodes),
-                                 num_shards=num_shards, shard_id=shard_id)
+                                 num_shards=num_shards if one else 1,
+                                 shard_id=shard_ids[0] if one else 0)
     except RuntimeError:
         raise  # malformed file: report like FormatError (caller catches)
     if res is None:
@@ -181,13 +193,14 @@ def _native_sketch_path(path, p: SketchParams, triples, taxonomy,
             return False  # rare: python loop handles renumbering
         batch_seen.add(sid)
         sids.append(sid)
+    owned_set = set(shard_ids)
     for i, (header, sid) in enumerate(zip(res.headers, sids)):
         seen_names.add(sid)
         tgt = len(target_nodes)
         parent = resolve_parent_taxid(header, seq2taxid, taxonomy)
-        # source_windows only for shard-owned targets, matching the
+        # source_windows only for locally-sketched targets, matching the
         # python/device loop (non-owned targets record 0 windows)
-        owned = tgt % num_shards == shard_id
+        owned = (tgt % num_shards) in owned_set
         node = taxonomy.add_node(
             -(tgt + 1), parent if parent else NONE_TAXID, sid,
             Rank.SEQUENCE, source_filename=path, source_index=i + 1,
@@ -196,7 +209,15 @@ def _native_sketch_path(path, p: SketchParams, triples, taxonomy,
         if progress:
             progress(path, tgt)
     if len(res.feat):
-        triples.add(res.feat, res.tgt, res.win)
+        if one:
+            sorters[shard_ids[0]].add(res.feat, res.tgt, res.win)
+        else:
+            owner = res.tgt % np.int32(num_shards)
+            for s in shard_ids:
+                sel = owner == s
+                if sel.any():
+                    sorters[s].add(res.feat[sel], res.tgt[sel],
+                                   res.win[sel])
     return True
 
 
@@ -256,12 +277,24 @@ def resolve_parent_taxid(header: str,
     return NONE_TAXID
 
 
-def build_database(infiles: Sequence[str], opt: BuildOptions,
-                   num_shards: int = 1, shard_id: int = 0,
-                   progress=None) -> Database:
-    """Build one shard of the database (main_mode_build flow,
-    src/mode_build.cpp:1145-1175 + add_to_database :797-843)."""
+def build_database_shards(infiles: Sequence[str], opt: BuildOptions,
+                          num_shards: int = 1,
+                          shard_ids: Optional[Sequence[int]] = None,
+                          progress=None) -> List["Database"]:
+    """Build several shards of the database in ONE pass over the inputs
+    (main_mode_build flow, src/mode_build.cpp:1145-1175 + add_to_database
+    :797-843). Each input file is parsed (and each record sketched)
+    exactly once; triples are routed to the owning shard's external
+    sorter. The reference achieves one-parse-per-rank by running ranks as
+    separate processes (mode_build.cpp:559-617); a single-process
+    multi-shard build here must not multiply the parse cost by S.
+
+    shard_ids: the shards to materialize (default: all of them).
+    Returns one Database per requested shard, in shard_ids order.
+    """
     p = opt.params.sketch
+    shard_ids = list(range(num_shards)) if shard_ids is None \
+        else list(shard_ids)
 
     taxonomy = taxonomy_io.make_taxonomic_hierarchy(
         opt.taxonomy_nodes, opt.taxonomy_names, opt.taxonomy_merged) \
@@ -273,16 +306,18 @@ def build_database(infiles: Sequence[str], opt: BuildOptions,
     seq2taxid = taxonomy_io.make_sequence_to_taxon_id_map(
         opt.sequence_id_mappings, files)
 
-    triples = ChunkedTripleSorter(chunk_triples=opt.chunk_triples)
-    batcher = WindowBatcher(p, triples)
+    sorters = {s: ChunkedTripleSorter(chunk_triples=opt.chunk_triples)
+               for s in shard_ids}
+    batchers = {s: WindowBatcher(p, sorters[s]) for s in shard_ids}
+    owned_set = set(shard_ids)
 
     target_nodes: List[int] = []
     seen_names = set()
     for path in files:
         try:
-            if _native_sketch_path(path, p, triples, taxonomy, target_nodes,
+            if _native_sketch_path(path, p, sorters, taxonomy, target_nodes,
                                    seen_names, seq2taxid, num_shards,
-                                   shard_id, progress):
+                                   shard_ids, progress):
                 continue
             records = sequence_io.read_sequences(path)
             for rec in records:
@@ -295,10 +330,11 @@ def build_database(infiles: Sequence[str], opt: BuildOptions,
                 taxid = -(tgt + 1)  # sequence-level taxon id
                 parent = resolve_parent_taxid(rec.header, seq2taxid, taxonomy)
                 windows = 0
-                if tgt % num_shards == shard_id:
+                owner = tgt % num_shards
+                if owner in owned_set:
                     codes = encode.np_encode_bytes(
                         np.frombuffer(rec.data.encode(), dtype=np.uint8))
-                    windows = batcher.add_sequence(codes, tgt)
+                    windows = batchers[owner].add_sequence(codes, tgt)
                 node = taxonomy.add_node(
                     taxid, parent if parent else NONE_TAXID, sid,
                     Rank.SEQUENCE, source_filename=path,
@@ -309,7 +345,8 @@ def build_database(infiles: Sequence[str], opt: BuildOptions,
         except (sequence_io.FormatError, RuntimeError) as e:
             # per-file errors are caught and logged (mode_build.cpp:630-643)
             print(f"FAIL: {path}: {e}")
-    batcher.finish()
+    for b in batchers.values():
+        b.finish()
 
     # post-build taxon mapping files (taxpostmap)
     if opt.taxpostmap:
@@ -320,22 +357,57 @@ def build_database(infiles: Sequence[str], opt: BuildOptions,
                               reset_parents=opt.reset_parents,
                               info_level=opt.info_level)
 
-    ft = triples.finalize(opt.params.max_locations_per_feature)
+    target_arr = np.array(target_nodes, dtype=np.int32)
+    dbs: List[Database] = []
+    for s in shard_ids:
+        ft = sorters[s].finalize(opt.params.max_locations_per_feature)
+        db = Database(
+            sketch_params=p, query_sketch_params=p,
+            max_locations_per_feature=opt.params.max_locations_per_feature,
+            taxonomy=_shard_taxonomy_view(taxonomy, target_arr,
+                                          num_shards, s,
+                                          len(shard_ids) > 1),
+            target_taxon_node=target_arr,
+            features=ft, num_shards=num_shards, shard_id=s)
 
-    db = Database(
-        sketch_params=p, query_sketch_params=p,
-        max_locations_per_feature=opt.params.max_locations_per_feature,
-        taxonomy=taxonomy,
-        target_taxon_node=np.array(target_nodes, dtype=np.int32),
-        features=ft, num_shards=num_shards, shard_id=shard_id)
+        if opt.params.remove_ambig_features_rank:
+            from .taxonomy import rank_from_name
+            r = rank_from_name(opt.params.remove_ambig_features_rank)
+            if r != Rank.NONE:
+                db.remove_ambiguous_features(r,
+                                             opt.params.max_taxa_per_feature)
+        dbs.append(db)
+    return dbs
 
-    if opt.params.remove_ambig_features_rank:
-        from .taxonomy import rank_from_name
-        r = rank_from_name(opt.params.remove_ambig_features_rank)
-        if r != Rank.NONE:
-            db.remove_ambiguous_features(r, opt.params.max_taxa_per_feature)
 
-    return db
+def _shard_taxonomy_view(taxonomy: Taxonomy, target_nodes: np.ndarray,
+                         num_shards: int, shard_id: int, copy: bool):
+    """Per-shard taxonomy: identical nodes, but source_windows recorded
+    only for the shard's own targets (a shard build sketches only owned
+    records, so its DB file reports 0 windows for foreign targets —
+    matching the per-shard build path and the reference's per-rank files).
+    Shares the underlying node storage via a shallow copy; shard databases
+    are not mutated after build (modify mode operates on freshly loaded
+    databases)."""
+    if not copy or num_shards == 1:
+        return taxonomy
+    import copy as _copy
+    t = _copy.copy(taxonomy)
+    sw = taxonomy.source_windows.copy()
+    foreign = target_nodes[np.arange(len(target_nodes)) % num_shards
+                           != shard_id]
+    sw[foreign] = 0
+    t._src_windows = sw
+    return t
+
+
+def build_database(infiles: Sequence[str], opt: BuildOptions,
+                   num_shards: int = 1, shard_id: int = 0,
+                   progress=None) -> Database:
+    """Build one shard of the database (see build_database_shards)."""
+    return build_database_shards(infiles, opt, num_shards=num_shards,
+                                 shard_ids=[shard_id],
+                                 progress=progress)[0]
 
 
 def build_database_from_records(records, params: BuildParams = None,

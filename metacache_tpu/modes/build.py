@@ -90,11 +90,13 @@ def main_mode_build(args: ArgsParser, num_shards: int = 1,
     timer.start()
     if not silent:
         print("Processing reference sequences.")
-    shard_dbs = []
-    for s in my_shards:
-        db = build_mod.build_database(infiles, opt, num_shards=num_shards,
-                                      shard_id=s, progress=progress)
-        shard_dbs.append(db)
+    # ONE pass over the inputs for all of this process's shards (the
+    # reference's ranks parse concurrently in separate processes,
+    # mode_build.cpp:559-617; re-reading the inputs per shard would
+    # multiply the parse cost by S)
+    shard_dbs = build_mod.build_database_shards(
+        infiles, opt, num_shards=num_shards, shard_ids=my_shards,
+        progress=progress)
     if not silent and shard_dbs:
         print(f"Added {shard_dbs[0].target_count} reference sequences "
               f"in {timer.seconds():.3f} s")

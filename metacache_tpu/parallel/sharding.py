@@ -207,8 +207,15 @@ class ShardedQueryEngine(EngineBase):
             offsets[:, :-1].astype(np.int32), mesh)
         self._cnt_tbl = dist.put_sharded(
             np.diff(offsets, axis=1).astype(np.int32), mesh)
-        self._loc_tgt = dist.put_sharded(tgts, mesh)
-        self._loc_win = dist.put_sharded(wins, mesh)
+        if packed is None:
+            self._loc_tgt = dist.put_sharded(tgts, mesh)
+            self._loc_win = dist.put_sharded(wins, mesh)
+        else:
+            # dead operands under the packed single-word path (see
+            # QueryEngine): don't spend HBM on the (tgt, win) pair arrays
+            dummy = np.zeros((tgts.shape[0], 1), np.int32)
+            self._loc_tgt = dist.put_sharded(dummy, mesh)
+            self._loc_win = dist.put_sharded(dummy, mesh)
         self._loc_packed = None if packed is None \
             else dist.put_sharded(packed, mesh)
         # padded row-gather table for the direct tier (one per shard; see

@@ -750,8 +750,14 @@ class QueryEngine(EngineBase):
         self._bucket_offsets = jnp.asarray(bucket_offsets)
         self._keys = jnp.asarray(keys)
         self._offsets = jnp.asarray(offsets)
-        self._loc_tgt = jnp.asarray(loc_tgt)
-        self._loc_win = jnp.asarray(loc_win)
+        packed, self._win_bits = db.features.packed_locations()
+        if packed is None:
+            self._loc_tgt = jnp.asarray(loc_tgt)
+            self._loc_win = jnp.asarray(loc_win)
+        else:
+            # dead operands under the packed single-word path: a [1] dummy
+            # instead of 2 x 4 B/location of HBM (5.4 GB at config-3 scale)
+            self._loc_tgt = self._loc_win = jnp.zeros(1, jnp.int32)
 
         # direct fast-tier lookup: flat (start, cnt) tables + a static
         # per-feature location cap covering >=99.5% of stored locations
@@ -767,7 +773,6 @@ class QueryEngine(EngineBase):
             sizes, nf, self.lmax_full, pipeline.fast_bucket_cap)
         self._start_tbl = jnp.asarray(offsets[:-1].astype(np.int32))
         self._cnt_tbl = jnp.asarray(sizes.astype(np.int32))
-        packed, self._win_bits = db.features.packed_locations()
         self._loc_packed = None if packed is None else jnp.asarray(packed)
         # padded row-gather table for the direct tier (build_direct_table):
         # ~10-30x faster than the flat location gather on HBM-resident
