@@ -825,14 +825,19 @@ def run_interactive_query_mode(dbname: str, init_args: ArgsParser) -> int:
             files = sorted(files)
         try:
             twk = 16 if opt.output.show_hits_per_target_list else 0
-            key = (dataclasses.astuple(opt.classify),
-                   dataclasses.astuple(opt.pipeline), twk)
+            # key on program-SHAPE parameters only: hits_min/hits_diff are
+            # runtime device scalars, so a -hitmin/-hitdiff change reuses
+            # the compiled engine (update_runtime_thresholds)
+            c = opt.classify
+            key = (c.lowest_rank, c.highest_rank, c.insert_size_max,
+                   c.max_candidates, dataclasses.astuple(opt.pipeline), twk)
             engine = engine_cache.get(key)
             if engine is None:
                 engine = QueryEngine(db, opt.classify, opt.pipeline,
                                      target_window_k=twk)
                 engine_cache[key] = engine
             else:
+                engine.update_runtime_thresholds(opt.classify)
                 print("(reusing loaded engine)", file=sys.stderr)
             proc = QueryProcessor(db, opt, engine=engine)
             outfile = opt.output.query_mappings_file

@@ -384,9 +384,10 @@ namespace {
 // smallest UNIQUE thomas-mueller hashes of the window's canonical kmers,
 // emitted in ascending order; 0xFFFFFFFF never enters a sketch.
 //
-// The device bulk-sketch path (ops/sketch_bulk.py) is the TPU-native
-// equivalent; this host path exists because shipping whole genomes through
-// a tunneled (remote) device costs more than sketching them on the host.
+// The device bulk-sketch path (db/build.py WindowBatcher over
+// ops/sketch.sketch_windows) is the TPU-native equivalent; this host path
+// exists because shipping whole genomes through a tunneled (remote) device
+// costs more than sketching them on the host.
 
 int64_t num_windows_of(int64_t L, int64_t win, int64_t stride) {
     if (L <= win) return 1;

@@ -481,6 +481,18 @@ class EngineBase:
     and _dispatch_tier(fused, exclude_groups, lmax, direct_mb, wire, sfmt)
     -> out dict with "summary" (+ "_sfmt")."""
 
+    def update_runtime_thresholds(self, classify: "ClassifyParams"):
+        """Adopt new hits_min / hits_diff_fraction without recompiling.
+
+        Both are runtime device scalars, not program shape — a REPL line
+        changing -hitmin/-hitdiff must reuse the loaded engine
+        (mode_query.cpp:269-315 exists to amortize exactly this)."""
+        self.classify = classify
+        self.hits_min = classify.resolved_hits_min(
+            self.db.sketch_params.sketch_size)
+        self._hits_min_dev = jnp.int32(self.hits_min)
+        self._hits_diff_dev = jnp.float32(classify.hits_diff_fraction)
+
     def make_host_buffers(self):
         B, L = self.pipeline.batch_size, self.pipeline.max_query_len
         return (np.zeros((B, L), np.uint8), np.zeros(B, np.int32),

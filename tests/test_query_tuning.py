@@ -88,14 +88,28 @@ def test_repl_reuses_engine(tmp_path, db, monkeypatch, capsys):
     base = str(tmp_path / "repl_db")
     db.save(base)
     reads = tmp_path / "r.fa"
-    mock.write_fasta(str(reads), [("q1", "ACGT" * 30)])
+    genome = mock.random_genome(np.random.default_rng(3), 3000)
+    mock.write_fasta(str(reads), [("q1", genome[500:620])])
     out1 = str(tmp_path / "o1.txt")
     out2 = str(tmp_path / "o2.txt")
-    lines = iter([f"{reads} -out {out1}", f"{reads} -out {out2}", ":q"])
+    out3 = str(tmp_path / "o3.txt")
+    lines = iter([f"{reads} -out {out1}", f"{reads} -out {out2}",
+                  f"{reads} -hitmin 99 -out {out3}", ":q"])
     monkeypatch.setattr("builtins.input", lambda *_: next(lines))
     rc = run_interactive_query_mode(base, ArgsParser(["query", base]))
     assert rc == 0
     assert os.path.exists(out1) and os.path.exists(out2)
     err = capsys.readouterr().err
-    # second identical line must NOT rebuild the engine
-    assert err.count("(reusing loaded engine)") == 1
+    # the identical line AND the -hitmin line must both reuse the engine:
+    # hits_min is a runtime device scalar, not program shape
+    assert err.count("(reusing loaded engine)") == 2
+    # ... and the new threshold must actually apply (hitmin 99 on a
+    # 16-feature sketch classifies nothing)
+    with open(out1) as f:
+        mapped1 = [l for l in f if not l.startswith("#")]
+    with open(out3) as f:
+        mapped3 = [l for l in f if not l.startswith("#")]
+    l1 = [l for l in mapped1 if l.startswith("q1")]
+    l3 = [l for l in mapped3 if l.startswith("q1")]
+    assert l1 and "--" not in l1[0]
+    assert l3 and "--" in l3[0]
