@@ -361,8 +361,12 @@ class ChunkedTripleSorter:
         if self._tmp is None:
             self._tmp = tempfile.mkdtemp(prefix="mc_triples_",
                                          dir=self._tmpdir_given)
-        order = np.argsort(f, kind="stable")
-        f, t, w = f[order], t[order], w[order]
+        from .. import native
+        if not native.radix_sort_triples(f, t, w):
+            # native LSD radix unavailable: numpy stable argsort costs
+            # seconds per 32M-triple chunk (x dozens of chunks at Gbp scale)
+            order = np.argsort(f, kind="stable")
+            f, t, w = f[order], t[order], w[order]
         path = os.path.join(self._tmp, f"chunk{len(self._chunks)}")
         np.save(path + ".f.npy", f)
         np.save(path + ".t.npy", t)

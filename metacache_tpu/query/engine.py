@@ -432,12 +432,22 @@ def _to_host(arr) -> np.ndarray:
 def choose_direct_cap(sizes, nf: int, lmax_full: int, requested_cap: int):
     """Static per-feature location cap for the direct fast tier.
 
-    requested_cap: 0 = auto (smallest cap in {2,4,6,8,12,16} covering
-    >=99.5% of stored locations, or the exact max bucket when small);
-    -1 = disable; >0 = explicit. The static match width NF*cap must stay
-    within lmax_full: a wider direct program would classify reads
-    untruncated that a single-tier run truncates at lmax, silently
-    changing the documented truncation contract.
+    requested_cap: 0 = auto (smallest cap in {2,4,6,8,12,16} achieving
+    >=99.5% of the location coverage the LARGEST allowed cap would achieve,
+    or the exact max bucket when small); -1 = disable; >0 = explicit. The
+    static match width NF*cap must stay within lmax_full: a wider direct
+    program would classify reads untruncated that a single-tier run
+    truncates at lmax, silently changing the documented truncation
+    contract.
+
+    Coverage is measured RELATIVE to the best achievable cap, not to the
+    raw location total: a heavy-tailed table (repeat elements at the
+    254-location cap) has a tail no allowed cap can cover — those reads
+    re-run at full width regardless, so a tail-chasing wide cap only
+    doubles every sort width in the fast program. (Realistic bench world:
+    absolute coverage never reaches 99.5% and the old rule ran to cap 8;
+    relative coverage picks 4 — same re-run set to within ~1%, half the
+    [B, NF*mb] sort width.)
 
     Returns (mb, exact): mb == 0 disables the direct tier; exact means the
     cap covers the table's max bucket (no read can ever overflow).
@@ -452,13 +462,14 @@ def choose_direct_cap(sizes, nf: int, lmax_full: int, requested_cap: int):
             # round trip costs up to ~100 ms through a tunneled TPU)
             cap = max_bucket
         else:
-            tot = float(sizes.sum())
+            best_c = min(16, cap_limit)
+            coverable = float(np.minimum(sizes, best_c).sum())
             cap = -1
             for c in (2, 4, 6, 8, 12, 16):
                 if c > cap_limit:
                     break
                 cap = c
-                if np.minimum(sizes, c).sum() >= 0.995 * tot:
+                if np.minimum(sizes, c).sum() >= 0.995 * coverable:
                     break
     elif cap > cap_limit:
         import warnings
