@@ -148,6 +148,13 @@ class FeatureTable:
         behavior (cap per rank, sketch_database.h:1079-1097)."""
         if not tables:
             return cls.empty()
+        from .. import native
+        merged = native.merge_shard_tables(tables)
+        if merged is not None:
+            keys, offsets, tg, w = merged
+            return cls(keys=keys, offsets=offsets, loc_tgt=tg, loc_win=w)
+        # numpy fallback: full 3-key lexsort over all triples (minutes at
+        # 10^8+ triples — the native P-way merge above is linear)
         f = np.concatenate([np.repeat(t.keys, t.bucket_sizes())
                             for t in tables])
         tg = np.concatenate([t.loc_tgt for t in tables])

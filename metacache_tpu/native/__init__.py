@@ -116,6 +116,12 @@ def load_mcio():
             [ctypes.c_void_p] * 4
         lib.mcio_table_free.restype = None
         lib.mcio_table_free.argtypes = [ctypes.c_void_p]
+        lib.mcio_merge_shard_tables.restype = ctypes.c_int64
+        lib.mcio_merge_shard_tables.argtypes = [
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -367,3 +373,40 @@ def encode_batch(seqs: List[bytes], max_len: int):
                           max_len, packed.ctypes.data, ambig.ctypes.data,
                           lens.ctypes.data)
     return packed, ambig, lens
+
+
+def merge_shard_tables(tables):
+    """P-way merge of shard CSR tables into one fused (feature, target,
+    window)-ordered table (mcio_merge_shard_tables — replaces a numpy
+    3-key lexsort over all triples, which costs minutes at 10^8+ triples).
+    `tables`: list of objects with .keys/.offsets/.loc_tgt/.loc_win.
+    Returns (keys, offsets, loc_tgt, loc_win) or None when the native
+    library is unavailable."""
+    import ctypes as ct
+    lib = load_mcio()
+    if lib is None:
+        return None
+    P = len(tables)
+    keys = [np.ascontiguousarray(t.keys, np.uint32) for t in tables]
+    offs = [np.ascontiguousarray(t.offsets, np.int64) for t in tables]
+    tgts = [np.ascontiguousarray(t.loc_tgt, np.int32) for t in tables]
+    wins = [np.ascontiguousarray(t.loc_win, np.int32) for t in tables]
+    nkeys = np.array([len(k) for k in keys], np.int64)
+    tot_k = int(nkeys.sum())
+    tot_l = int(sum(len(t) for t in tgts))
+    keys_out = np.zeros(tot_k, np.uint32)
+    offs_out = np.zeros(tot_k + 1, np.int64)
+    tgt_out = np.zeros(tot_l, np.int32)
+    win_out = np.zeros(tot_l, np.int32)
+    PtrArr = ct.c_void_p * P
+    kp = PtrArr(*[k.ctypes.data for k in keys])
+    op = PtrArr(*[o.ctypes.data for o in offs])
+    tp = PtrArr(*[t.ctypes.data for t in tgts])
+    wp = PtrArr(*[w.ctypes.data for w in wins])
+    out_nk = ct.c_int64()
+    nl = lib.mcio_merge_shard_tables(
+        P, kp, op, nkeys.ctypes.data, tp, wp,
+        keys_out.ctypes.data, offs_out.ctypes.data,
+        tgt_out.ctypes.data, win_out.ctypes.data, ct.byref(out_nk))
+    nk = out_nk.value
+    return (keys_out[:nk], offs_out[:nk + 1], tgt_out[:nl], win_out[:nl])

@@ -766,4 +766,69 @@ void mcio_table_fetch(void* vr, uint32_t* keys, int64_t* offsets,
 
 void mcio_table_free(void* vr) { delete (CsrResult*)vr; }
 
+// P-way merge of shard CSR tables into one fused table, ordered by
+// (feature, target, window) — the single-process fused-query view of a
+// multi-shard database (load_all_shards). Each shard's table is already a
+// stream sorted by that tuple (keys ascending; locations ascending
+// (target, window) inside each bucket), and shards partition the targets,
+// so a linear P-way merge replaces the numpy 3-key lexsort over ALL
+// triples (3 stable argsorts + gathers — minutes at 700M triples).
+//
+// keys[s]/offs[s]/tgt[s]/win[s]: shard s's CSR arrays; nkeys[s] its key
+// count. Outputs must be allocated for the worst case (sum of key counts,
+// sum of location counts); returns the merged location count and writes
+// the merged key count to *out_nkeys.
+int64_t mcio_merge_shard_tables(int32_t P, const uint32_t** keys,
+                                const int64_t** offs, const int64_t* nkeys,
+                                const int32_t** tgt, const int32_t** win,
+                                uint32_t* keys_out, int64_t* offs_out,
+                                int32_t* tgt_out, int32_t* win_out,
+                                int64_t* out_nkeys) {
+    std::vector<int64_t> ki((size_t)P, 0), li((size_t)P, 0);
+    for (int s = 0; s < P; ++s) {       // skip any leading empty buckets
+        while (ki[s] < nkeys[s] && li[s] >= offs[s][ki[s] + 1]) ++ki[s];
+    }
+    int64_t nk = 0, nl = 0;
+    bool have_last = false;
+    uint32_t last_key = 0;
+    for (;;) {
+        int best = -1;
+        uint32_t bf = 0;
+        int32_t bt = 0, bw = 0;
+        for (int s = 0; s < P; ++s) {
+            if (ki[s] >= nkeys[s]) continue;
+            uint32_t fsv = keys[s][ki[s]];
+            int32_t tsv = tgt[s][li[s]];
+            int32_t wsv = win[s][li[s]];
+            if (best < 0 || fsv < bf ||
+                (fsv == bf && (tsv < bt || (tsv == bt && wsv < bw)))) {
+                best = s;
+                bf = fsv;
+                bt = tsv;
+                bw = wsv;
+            }
+        }
+        if (best < 0) break;
+        if (!have_last || bf != last_key) {
+            keys_out[nk] = bf;
+            offs_out[nk] = nl;
+            ++nk;
+            last_key = bf;
+            have_last = true;
+        }
+        tgt_out[nl] = bt;
+        win_out[nl] = bw;
+        ++nl;
+        ++li[best];
+        // advance past the bucket end (and any empty buckets)
+        while (ki[best] < nkeys[best] &&
+               li[best] >= offs[best][ki[best] + 1]) {
+            ++ki[best];
+        }
+    }
+    offs_out[nk] = nl;
+    *out_nkeys = nk;
+    return nl;
+}
+
 }  // extern "C"

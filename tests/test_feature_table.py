@@ -175,3 +175,40 @@ class TestChunkedTripleSorter:
         got = s.finalize(254)
         np.testing.assert_array_equal(want.keys, got.keys)
         np.testing.assert_array_equal(want.loc_tgt, got.loc_tgt)
+
+
+def test_native_merge_shard_tables_equals_lexsort():
+    """The native P-way shard merge must equal the numpy lexsort path."""
+    import os
+    from metacache_tpu import native
+    from metacache_tpu.db.feature_table import FeatureTable
+    if native.load_mcio() is None:
+        import pytest
+        pytest.skip("native unavailable")
+    rng = np.random.default_rng(7)
+    tables = []
+    P = 3
+    for s in range(P):
+        n = int(rng.integers(50, 200))
+        f = rng.integers(0, 40, n).astype(np.uint32)
+        t = (rng.integers(0, 30, n) * P + s).astype(np.int32)  # disjoint
+        w = rng.integers(0, 100, n).astype(np.int32)
+        order = np.lexsort((w, t, f))
+        tables.append(FeatureTable.from_triples(
+            f[order], t[order], w[order], 1000,
+            presorted_by_location=True, sort_in_place=False))
+    got = FeatureTable.concat_shards(tables)
+    # numpy reference path
+    f = np.concatenate([np.repeat(t.keys, t.bucket_sizes())
+                        for t in tables])
+    tg = np.concatenate([t.loc_tgt for t in tables])
+    w = np.concatenate([t.loc_win for t in tables])
+    order = np.lexsort((w, tg, f))
+    f, tg, w = f[order], tg[order], w[order]
+    keys, counts = np.unique(f, return_counts=True)
+    offsets = np.zeros(len(keys) + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    np.testing.assert_array_equal(got.keys, keys.astype(np.uint32))
+    np.testing.assert_array_equal(got.offsets, offsets)
+    np.testing.assert_array_equal(got.loc_tgt, tg)
+    np.testing.assert_array_equal(got.loc_win, w)
