@@ -167,6 +167,17 @@ class ShardedQueryEngine(EngineBase):
             np.zeros(0, np.int64)
         mb, _ = choose_direct_cap(all_sizes, nf, self.lmax_full,
                                   pipeline.fast_bucket_cap)
+        # empirical re-run estimate (see engine.estimate_overflow_fraction):
+        # shards own disjoint targets, so per-shard heavy-window counts sum
+        # to the union; a read re-runs if ANY shard overflows it
+        heavy_win = tot_win = 0
+        if mb > 0 and mb < max_bucket and pipeline.fast_bucket_cap == 0:
+            from ..query.engine import count_heavy_windows
+            for d in dbs:
+                heavy_win += count_heavy_windows(
+                    d.features.bucket_sizes(), d.features.loc_tgt,
+                    d.features.loc_win, mb)
+                tot_win += int(d.taxonomy.source_windows.sum())
         if multiproc:
             # all shards must pad to the same (global) table sizes, and the
             # unrolled-search step count / win_bits / direct-path bucket cap
@@ -174,12 +185,20 @@ class ShardedQueryEngine(EngineBase):
             from jax.experimental import multihost_utils
             g = multihost_utils.process_allgather(
                 np.array([pad_f, pad_l, win_bits, int(packable),
-                          max_bucket, mb], np.int64))
+                          max_bucket, mb, heavy_win, tot_win], np.int64))
             pad_f, pad_l = int(g[:, 0].max()), int(g[:, 1].max())
             win_bits = int(g[:, 2].max())
             packable = bool(g[:, 3].min())
             max_bucket = int(g[:, 4].max())
             mb = int(g[:, 5].max())
+            heavy_win = int(g[:, 6].sum())
+            tot_win = int(g[:, 7].sum())
+        from ..query.engine import OVERFLOW_DISABLE_THRESHOLD
+        if mb > 0 and mb < max_bucket and tot_win > 0 and \
+                min(1.0, 2.0 * heavy_win / tot_win) > \
+                OVERFLOW_DISABLE_THRESHOLD:
+            # diffuse heavy tail: most reads would re-run — single-tier
+            mb = 0
         self._direct_mb = mb
         self._direct_exact = mb >= max_bucket
         keys, offsets, tgts, wins, packed = stack_shard_tables(

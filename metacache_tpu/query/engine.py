@@ -482,6 +482,48 @@ def choose_direct_cap(sizes, nf: int, lmax_full: int, requested_cap: int):
     return mb, mb >= max_bucket
 
 
+def estimate_overflow_fraction(sizes, loc_tgt, loc_win, cap: int,
+                               total_windows: int) -> float:
+    """Fraction of database windows containing at least one feature whose
+    bucket exceeds `cap` — an empirical estimate of the read re-run rate a
+    non-exact direct tier would incur (reads sketch the same windows the
+    build did).
+
+    This distinguishes the two heavy-tail regimes that a plain
+    location-coverage number cannot: a CONCENTRATED tail (a repeat element
+    at the 254 cap — few windows touch it, re-runs stay rare, the fast
+    tier pays) vs a DIFFUSE tail (k-mer-space saturation at Gbp scale —
+    at 5 Gbp the fused table's mean bucket is 3.4 and >80% of windows hold
+    a >cap feature, so nearly every read re-runs and the fast tier is pure
+    overhead). Cost: one repeat + one unique over only the heavy
+    locations."""
+    if total_windows <= 0 or len(sizes) == 0:
+        return 0.0
+    frac = count_heavy_windows(sizes, loc_tgt, loc_win, cap) / total_windows
+    # a read pair queries two windows
+    return float(min(1.0, 2.0 * frac))
+
+
+def count_heavy_windows(sizes, loc_tgt, loc_win, cap: int) -> int:
+    """Number of distinct (target, window) pairs holding at least one
+    location of a feature whose bucket exceeds `cap`."""
+    if len(sizes) == 0:
+        return 0
+    bs = np.repeat(sizes.astype(np.int32), sizes)
+    heavy = bs > cap
+    if not heavy.any():
+        return 0
+    key = (loc_tgt[heavy].astype(np.int64) << 32) | \
+        loc_win[heavy].astype(np.int64)
+    return len(np.unique(key))
+
+
+#: above this estimated re-run rate the direct fast tier is disabled:
+#: re-running most reads through the full-width program costs more than
+#: running everything through it once
+OVERFLOW_DISABLE_THRESHOLD = 0.25
+
+
 class EngineBase:
     """Host-side engine machinery shared by the single-chip QueryEngine and
     the multi-chip ShardedQueryEngine: wire formats (slim/legacy fused input
@@ -794,6 +836,16 @@ class QueryEngine(EngineBase):
         sizes = np.diff(np.asarray(offsets))
         self._direct_mb, self._direct_exact = choose_direct_cap(
             sizes, nf, self.lmax_full, pipeline.fast_bucket_cap)
+        if self._direct_mb > 0 and not self._direct_exact \
+                and pipeline.fast_bucket_cap == 0:
+            est = estimate_overflow_fraction(
+                sizes, loc_tgt, loc_win, self._direct_mb,
+                int(db.taxonomy.source_windows.sum()))
+            if est > OVERFLOW_DISABLE_THRESHOLD:
+                # diffuse heavy tail: most reads would re-run — go
+                # single-tier full-width instead (see
+                # estimate_overflow_fraction)
+                self._direct_mb = 0
         self._start_tbl = jnp.asarray(offsets[:-1].astype(np.int32))
         self._cnt_tbl = jnp.asarray(sizes.astype(np.int32))
         self._loc_packed = None if packed is None else jnp.asarray(packed)
