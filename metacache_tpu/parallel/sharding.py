@@ -169,14 +169,23 @@ class ShardedQueryEngine(EngineBase):
                                   pipeline.fast_bucket_cap)
         # empirical re-run estimate (see engine.estimate_overflow_fraction):
         # shards own disjoint targets, so per-shard heavy-window counts sum
-        # to the union; a read re-runs if ANY shard overflows it
-        heavy_win = tot_win = 0
-        if mb > 0 and mb < max_bucket and pipeline.fast_bucket_cap == 0:
+        # to the union; a read re-runs if ANY shard overflows it. Counts
+        # are computed for EVERY candidate cap so all hosts can walk the
+        # same aggregated numbers after one allgather.
+        cap_limit = max(1, self.lmax_full // nf)
+        cand_caps = [c for c in (2, 4, 6, 8, 12, 16) if c <= cap_limit]
+        heavy = np.zeros(6, np.int64)
+        tot_win = 0
+        # counts are computed whenever auto-capping, so every host
+        # contributes regardless of its local coverage pick; whether to
+        # walk is decided from GLOBAL quantities after the allgather
+        if pipeline.fast_bucket_cap == 0:
             from ..query.engine import count_heavy_windows
             for d in dbs:
-                heavy_win += count_heavy_windows(
-                    d.features.bucket_sizes(), d.features.loc_tgt,
-                    d.features.loc_win, mb)
+                s = d.features.bucket_sizes()
+                for i, c in enumerate(cand_caps):
+                    heavy[i] += count_heavy_windows(
+                        s, d.features.loc_tgt, d.features.loc_win, c)
                 tot_win += int(d.taxonomy.source_windows.sum())
         if multiproc:
             # all shards must pad to the same (global) table sizes, and the
@@ -185,20 +194,27 @@ class ShardedQueryEngine(EngineBase):
             from jax.experimental import multihost_utils
             g = multihost_utils.process_allgather(
                 np.array([pad_f, pad_l, win_bits, int(packable),
-                          max_bucket, mb, heavy_win, tot_win], np.int64))
+                          max_bucket, mb, tot_win]
+                         + list(heavy), np.int64))
             pad_f, pad_l = int(g[:, 0].max()), int(g[:, 1].max())
             win_bits = int(g[:, 2].max())
             packable = bool(g[:, 3].min())
             max_bucket = int(g[:, 4].max())
             mb = int(g[:, 5].max())
-            heavy_win = int(g[:, 6].sum())
-            tot_win = int(g[:, 7].sum())
+            tot_win = int(g[:, 6].sum())
+            heavy = g[:, 7:7 + 6].sum(axis=0)
         from ..query.engine import OVERFLOW_DISABLE_THRESHOLD
-        if mb > 0 and mb < max_bucket and tot_win > 0 and \
-                min(1.0, 2.0 * heavy_win / tot_win) > \
-                OVERFLOW_DISABLE_THRESHOLD:
-            # diffuse heavy tail: most reads would re-run — single-tier
+        walk = (pipeline.fast_bucket_cap == 0 and tot_win > 0
+                and max_bucket > min(16, cap_limit))
+        if walk:
+            # walk the caps from widest down; keep the smallest whose
+            # estimated re-run rate stays under threshold, else single-tier
             mb = 0
+            for i in range(len(cand_caps) - 1, -1, -1):
+                est = min(1.0, 2.0 * int(heavy[i]) / tot_win)
+                if est > OVERFLOW_DISABLE_THRESHOLD:
+                    break
+                mb = cand_caps[i]
         self._direct_mb = mb
         self._direct_exact = mb >= max_bucket
         keys, offsets, tgts, wins, packed = stack_shard_tables(

@@ -518,10 +518,14 @@ def count_heavy_windows(sizes, loc_tgt, loc_win, cap: int) -> int:
     return len(np.unique(key))
 
 
-#: above this estimated re-run rate the direct fast tier is disabled:
-#: re-running most reads through the full-width program costs more than
-#: running everything through it once
-OVERFLOW_DISABLE_THRESHOLD = 0.25
+#: maximum acceptable ESTIMATED re-run rate for a direct-tier cap. On the
+#: tunneled device a re-run dispatch can cost a whole executable re-ship
+#: (degraded mode, PERF.md), so re-runs are weighted heavily: the cap walk
+#: keeps the smallest cap whose estimated re-run rate stays below this,
+#: and disables the fast tier entirely (single-tier full-width, zero
+#: re-runs) when no allowed cap qualifies — the diffuse-saturation regime
+#: of Gbp-scale tables.
+OVERFLOW_DISABLE_THRESHOLD = 0.10
 
 
 class EngineBase:
@@ -838,14 +842,26 @@ class QueryEngine(EngineBase):
             sizes, nf, self.lmax_full, pipeline.fast_bucket_cap)
         if self._direct_mb > 0 and not self._direct_exact \
                 and pipeline.fast_bucket_cap == 0:
-            est = estimate_overflow_fraction(
-                sizes, loc_tgt, loc_win, self._direct_mb,
-                int(db.taxonomy.source_windows.sum()))
-            if est > OVERFLOW_DISABLE_THRESHOLD:
-                # diffuse heavy tail: most reads would re-run — go
-                # single-tier full-width instead (see
-                # estimate_overflow_fraction)
-                self._direct_mb = 0
+            # refine the coverage-based cap with the EMPIRICAL re-run
+            # estimate: walk the allowed caps from widest down and keep the
+            # smallest whose estimated re-run rate stays under threshold
+            # (estimate_overflow_fraction). Realistic bench world: cap 8
+            # (the 5..8-bucket chance collisions are scattered over ~20% of
+            # windows, so narrower caps explode the re-run rate even though
+            # they cover 99.6% of locations); config-3 scale: every
+            # allowed cap fails (diffuse k-mer-space saturation) -> 0 =
+            # single-tier full-width, no re-runs.
+            total_w = int(db.taxonomy.source_windows.sum())
+            cap_limit = max(1, self.lmax_full // nf)
+            best = 0
+            for c in sorted((c for c in (2, 4, 6, 8, 12, 16)
+                             if c <= cap_limit), reverse=True):
+                est = estimate_overflow_fraction(sizes, loc_tgt, loc_win,
+                                                 c, total_w)
+                if est > OVERFLOW_DISABLE_THRESHOLD:
+                    break
+                best = c
+            self._direct_mb = best
         self._start_tbl = jnp.asarray(offsets[:-1].astype(np.int32))
         self._cnt_tbl = jnp.asarray(sizes.astype(np.int32))
         self._loc_packed = None if packed is None else jnp.asarray(packed)

@@ -158,3 +158,24 @@ def test_direct_tbl_equals_flat(mb):
         direct_tbl=jnp.asarray(dtbl))
     for a, b in zip(flat, rows):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_estimate_overflow_fraction_regimes():
+    """The window-overflow estimator must distinguish a concentrated heavy
+    tail (few windows hold the >cap features) from a diffuse one (most
+    windows do) — the round-4 tier decision input."""
+    from metacache_tpu.query.engine import estimate_overflow_fraction
+    # 10 features x bucket 2 spread over 20 windows (light), plus one
+    # bucket-10 feature whose locations all sit in windows 0..1 of tgt 9
+    sizes = np.array([2] * 10 + [10])
+    lt = np.array([i // 2 for i in range(20)] + [9] * 10, np.int32)
+    lw = np.array([i % 2 for i in range(20)] + [0, 1] * 5, np.int32)
+    est = estimate_overflow_fraction(sizes, lt, lw, 4, total_windows=100)
+    assert est == pytest.approx(2 * 2 / 100)   # 2 heavy windows, x2 mates
+    # diffuse: every location belongs to a >cap bucket, all windows heavy
+    sizes2 = np.array([10, 10])
+    lt2 = np.arange(20, dtype=np.int32) % 10
+    lw2 = np.arange(20, dtype=np.int32) // 10
+    est2 = estimate_overflow_fraction(sizes2, lt2, lw2, 4,
+                                      total_windows=20)
+    assert est2 == 1.0
