@@ -311,6 +311,9 @@ def build_database_shards(infiles: Sequence[str], opt: BuildOptions,
     batchers = {s: WindowBatcher(p, sorters[s]) for s in shard_ids}
     owned_set = set(shard_ids)
 
+    import time as _time
+    _timing = bool(os.environ.get("METACACHE_BUILD_TIMING"))
+    _t0 = _time.time()
     target_nodes: List[int] = []
     seen_names = set()
     for path in files:
@@ -347,6 +350,11 @@ def build_database_shards(infiles: Sequence[str], opt: BuildOptions,
             print(f"FAIL: {path}: {e}")
     for b in batchers.values():
         b.finish()
+    if _timing:
+        import sys as _sys
+        print(f"[build-timing] parse+sketch+route+spill: "
+              f"{_time.time() - _t0:.1f}s", file=_sys.stderr)
+        _t0 = _time.time()
 
     # post-build taxon mapping files (taxpostmap)
     if opt.taxpostmap:
@@ -361,6 +369,11 @@ def build_database_shards(infiles: Sequence[str], opt: BuildOptions,
     dbs: List[Database] = []
     for s in shard_ids:
         ft = sorters[s].finalize(opt.params.max_locations_per_feature)
+        if _timing:
+            import sys as _sys
+            print(f"[build-timing] shard {s} finalize: "
+                  f"{_time.time() - _t0:.1f}s", file=_sys.stderr)
+            _t0 = _time.time()
         db = Database(
             sketch_params=p, query_sketch_params=p,
             max_locations_per_feature=opt.params.max_locations_per_feature,
