@@ -155,11 +155,12 @@ def measure_tpu() -> float:
     db = load_all_shards(dbbase)
     classify = ClassifyParams(lowest_rank="species")
     # max_query_len 104 (not 128): the tunnel's ~30 MB/s host->device
-    # bandwidth is ~99% of per-batch wall time (tools/exp_r3_host.py), so
-    # wire bytes/pair is THE throughput knob; 100bp reads need 26 packed
-    # bytes/mate. (B=16384 was tried: the remote compile of that shape
-    # stalls for >25 min through the tunnel; 8192 compiles in ~2 min.)
-    pipeline = QueryPipelineParams(batch_size=8192, max_query_len=104,
+    # bandwidth dominates per-batch wall time, so wire bytes/pair is THE
+    # throughput knob; 100bp reads need 26 packed bytes/mate. B=16384:
+    # per-dispatch round-trip latency (~15-20 ms) rivals the wire time at
+    # B=8192 (round-4, tools/exp_r4_batch16k.py: +35%); B=32768 pipelines
+    # too shallowly and loses it back.
+    pipeline = QueryPipelineParams(batch_size=16384, max_query_len=104,
                                    max_locations_per_query=256)
     eng = QueryEngine(db, classify, pipeline)
 
@@ -432,7 +433,7 @@ def measure_realistic() -> dict:
     log(f"realistic DB: {db.features.num_keys} features, "
         f"{db.features.num_locations} locations, "
         f"max bucket {int(sizes.max())}, mean {float(sizes.mean()):.2f}")
-    pipeline = QueryPipelineParams(batch_size=8192, max_query_len=104,
+    pipeline = QueryPipelineParams(batch_size=16384, max_query_len=104,
                                    max_locations_per_query=256)
     eng = QueryEngine(db, ClassifyParams(lowest_rank="species"), pipeline)
     out["realistic_direct_mb"] = eng._direct_mb
@@ -732,7 +733,7 @@ def measure_end_to_end() -> dict:
     argv = ["query", os.path.join(BIG, "mydb"),
             os.path.join(BIG, "reads_1.fa"), os.path.join(BIG, "reads_2.fa"),
             "-pairfiles", "-lowest", "species",
-            "-batch-size", "8192", "-max-query-len", "104",
+            "-batch-size", "16384", "-max-query-len", "104",
             "-max-locations-per-query", "256",
             "-out", outfile]
     main_mode_query(ArgsParser(list(argv)))       # warmup (compile + IO)
