@@ -486,7 +486,9 @@ class QueryProcessor:
         self._postprocess(res, n, meta, gts, out)
 
     def _postprocess(self, res, n, meta, gts, out: TextIO):
-        self.total_overflow += int(res.match_overflow[:n].sum())
+        # count READS whose match list truncated at lmax (not dropped
+        # locations — a single repeat-element read can drop thousands)
+        self.total_overflow += int((res.match_overflow[:n] > 0).sum())
         db, opt = self.db, self.opt
         ev = opt.evaluate
         o = opt.output
