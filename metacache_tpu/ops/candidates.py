@@ -76,19 +76,23 @@ def _rank_lower_bound(tgt, win, q_win):
     degraded re-ship-per-execution mode) of a tunneled device pays for."""
     B, L = tgt.shape
     pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
-    is_item = jnp.concatenate(
-        [jnp.zeros((B, L), jnp.int32), jnp.ones((B, L), jnp.int32)], axis=1)
     c_tgt = jnp.concatenate([tgt, tgt], axis=1)
-    c_win = jnp.concatenate([q_win, win], axis=1)
+    # pack (win, is_item) into one sort key: win*2 keeps the order (window
+    # ids are indices, far below 2^30) and the LSB puts queries before
+    # items at equal (tgt, win) => lower bound. One packed key replaces
+    # two sort operands — sort bytes are the stage's cost.
+    c_wkey = jnp.concatenate([q_win * 2, win * 2 + 1], axis=1)
     c_pay = jnp.concatenate([pos, pos], axis=1)
-    # queries sort before items with equal (tgt, win) => lower bound
-    s_tgt, s_win, s_item, s_pay = jax.lax.sort(
-        (c_tgt, c_win, is_item, c_pay), dimension=1, num_keys=3,
-        is_stable=False)
+    s_tgt, s_wkey, s_pay = jax.lax.sort(
+        (c_tgt, c_wkey, c_pay), dimension=1, num_keys=2, is_stable=False)
+    s_item = s_wkey & 1
     items_before = jnp.cumsum(s_item, axis=1)
-    # return ranks to query order: queries (is_item=0) first, by payload
-    _, _, back = jax.lax.sort((s_item, s_pay, items_before), dimension=1,
-                              num_keys=2, is_stable=False)
+    # return ranks to query order: queries (is_item=0) first, by payload —
+    # again as one packed key (item above the payload bits)
+    P2 = 1 << int(2 * L - 1).bit_length()
+    bkey = s_item * P2 + s_pay
+    _, back = jax.lax.sort((bkey, items_before), dimension=1,
+                           num_keys=1, is_stable=False)
     return back[:, :L]
 
 
@@ -165,6 +169,7 @@ def generate_candidates(tgt, win, num_windows, target_cand_tax,
       (tax==0 marks an empty candidate slot).
     """
     B, L = tgt.shape
+    assert L <= 32768, "packed (hits, pos) sort key needs L*P2 < 2^31"
     T1 = target_cand_tax.shape[0]
     valid = tgt != TARGET_SENTINEL
     pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
@@ -189,8 +194,14 @@ def generate_candidates(tgt, win, num_windows, target_cand_tax,
     key = jnp.where(rep, target_cand_tax[safe_tgt], _BIG)
 
     # ---- dedup by taxon: keep max hits, first achiever on ties -----------
-    s_key, s_neg_hits, s_pos, s_hits, s_left, s_end, s_tgt = jax.lax.sort(
-        (key, -hits, pos, hits, left, win, tgt), dimension=1, num_keys=3,
+    # (hits desc, pos asc) packs into ONE sort key: hp = (L-hits)*P2 + pos
+    # (hits <= L, pos < L <= P2) — same lexicographic order, two fewer
+    # sort operands, and hits/pos decode back by divmod. Sort bytes are
+    # this stage's dominant cost (PERF.md round 4).
+    P2 = 1 << int(max(1, L - 1)).bit_length()
+    hp = (L - hits) * P2 + pos
+    s_key, s_hp, s_left, s_end, s_tgt = jax.lax.sort(
+        (key, hp, left, win, tgt), dimension=1, num_keys=2,
         is_stable=False)
     first_of_key = jnp.concatenate(
         [jnp.ones((B, 1), dtype=jnp.bool_), s_key[:, 1:] != s_key[:, :-1]],
@@ -198,21 +209,21 @@ def generate_candidates(tgt, win, num_windows, target_cand_tax,
     winner = first_of_key & (s_key != _BIG)
 
     # ---- final top-k by (hits desc, consume order asc) --------------------
-    # one more multi-operand sort + slice instead of lax.top_k + per-field
-    # take_along_axis gathers (~0.7 MB of generated code EACH on this
-    # backend; the sort is ~0.5 MB total — see PERF.md round 3)
-    o_neg = jnp.where(winner, -s_hits, _BIG)
-    o_pos = jnp.where(winner, s_pos, _BIG)
-    f_neg, f_pos, f_key, f_hits, f_left, f_end, f_tgt = jax.lax.sort(
-        (o_neg, o_pos, s_key, s_hits, s_left, s_end, s_tgt), dimension=1,
-        num_keys=2, is_stable=False)
+    # = ascending hp; one single-key sort + slice instead of lax.top_k +
+    # per-field take_along_axis gathers (~0.7 MB of generated code EACH on
+    # this backend — see PERF.md round 3)
+    o_hp = jnp.where(winner, s_hp, _BIG)
+    f_hp, f_key, f_left, f_end, f_tgt = jax.lax.sort(
+        (o_hp, s_key, s_left, s_end, s_tgt), dimension=1,
+        num_keys=1, is_stable=False)
     Cn = max_candidates
-    top_ok = f_neg[:, :Cn] != _BIG
+    top_ok = f_hp[:, :Cn] != _BIG
+    f_hits = L - f_hp[:, :Cn] // P2
     top_left = jnp.clip(f_left[:, :Cn], 0, L - 1)
     beg = jnp.take_along_axis(win, top_left, axis=1)
     return {
         "tax": jnp.where(top_ok, f_key[:, :Cn], 0),
-        "hits": jnp.where(top_ok, f_hits[:, :Cn], 0),
+        "hits": jnp.where(top_ok, f_hits, 0),
         "beg": jnp.where(top_ok, beg, 0),
         "end": jnp.where(top_ok, f_end[:, :Cn], 0),
         "tgt": jnp.where(top_ok, f_tgt[:, :Cn], TARGET_SENTINEL),

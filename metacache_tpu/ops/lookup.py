@@ -138,21 +138,20 @@ def _expand_slots(start, cum_ex, lmax: int):
     """
     B, NF = start.shape
     slots = jnp.arange(lmax, dtype=jnp.int32)
-    i_key = cum_ex
     i_pos = jnp.broadcast_to(jnp.arange(NF, dtype=jnp.int32)[None, :],
                              (B, NF))
     i_pay = start - cum_ex
     q_key = jnp.broadcast_to(slots[None, :], (B, lmax))
-    c_key = jnp.concatenate([i_key, q_key], axis=1)
-    c_flag = jnp.concatenate([jnp.zeros((B, NF), jnp.int32),
-                              jnp.ones((B, lmax), jnp.int32)], axis=1)
+    # pack (key, flag) into one sort key (key*2 + flag): items before
+    # queries at equal key, one fewer sort operand (sort bytes dominate)
+    c_key = jnp.concatenate([cum_ex * 2, q_key * 2 + 1], axis=1)
     c_pos = jnp.concatenate([i_pos, q_key], axis=1)
     c_pay = jnp.concatenate([i_pay, jnp.zeros((B, lmax), jnp.int32)], axis=1)
-    # items before queries at equal key; items in feature order
-    s_key, s_flag, s_pos, s_pay = jax.lax.sort(
-        (c_key, c_flag, c_pos, c_pay), dimension=1, num_keys=3,
+    # items in feature order at equal packed key
+    s_key, s_pos, s_pay = jax.lax.sort(
+        (c_key, c_pos, c_pay), dimension=1, num_keys=2,
         is_stable=False)
-    is_item = s_flag == 0
+    is_item = (s_key & 1) == 0
 
     # carry the most recent item's payload forward with a log-shift
     # fill-forward scan (Hillis-Steele over the "rightmost valid" operator):
@@ -175,9 +174,11 @@ def _expand_slots(start, cum_ex, lmax: int):
         have = have | hv
         s <<= 1
     # return query slots to slot order: queries (flag 1) land in the last
-    # lmax columns sorted by slot id
-    _, _, back = jax.lax.sort((s_flag, s_pos, pay), dimension=1, num_keys=2,
-                              is_stable=False)
+    # lmax columns sorted by slot id — (flag, pos) packed into one key
+    P2 = 1 << int(max(NF, lmax) - 1).bit_length()
+    fp = (s_key & 1) * P2 + s_pos
+    _, back = jax.lax.sort((fp, pay), dimension=1, num_keys=1,
+                           is_stable=False)
     return back[:, NF:] + slots[None, :]
 
 
