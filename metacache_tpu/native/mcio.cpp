@@ -28,8 +28,11 @@
 #include <zlib.h>
 
 #include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <deque>
+#include <mutex>
 #include <string>
 #include <thread>
 #include <vector>
@@ -473,8 +476,10 @@ struct SketchResult {
     std::vector<std::string> headers;
     std::vector<int64_t> seq_lens;
     std::vector<int32_t> seq_windows;        // windows per record
-    std::vector<std::vector<uint32_t>> feat;  // per record
-    std::vector<std::vector<int32_t>> wins;   // per record
+    // per record; deque: growing the outer container must not invalidate
+    // references held by in-flight sketch workers (streaming pipeline)
+    std::deque<std::vector<uint32_t>> feat;
+    std::deque<std::vector<int32_t>> wins;
     int64_t n_triples = 0;
     std::string error;
 };
@@ -500,52 +505,79 @@ void* mcio_sketch_file(const char* path, int k, int s, int win, int stride,
     SeqReader rd;
     if (!rd.open(path)) return nullptr;
     SketchResult* res = new SketchResult();
-    std::vector<std::string> datas;
-    Record rec;
-    for (;;) {
-        int st = rd.next(rec);
-        if (st < 0) {
-            res->error = rd.error() ? rd.error() : "read error";
-            return res;  // error reported via mcio_sk_error
-        }
-        if (st == 0) break;
-        res->headers.push_back(rec.header);
-        res->seq_lens.push_back((int64_t)rec.data.size());
-        datas.push_back(std::move(rec.data));
-    }
-    int64_t n = (int64_t)datas.size();
-    res->seq_windows.assign((size_t)n, 0);
-    res->feat.resize((size_t)n);
-    res->wins.resize((size_t)n);
 
-    std::atomic<int64_t> next(0);
+    // Streaming pipeline: the calling thread parses records and feeds a
+    // BOUNDED queue; worker threads sketch and release each record's
+    // sequence data. Peak resident sequence data = the queue bound, not
+    // the whole file (a 5 GB single-file build used to hold every record
+    // in RAM at once). Metadata (headers/lengths/window counts) and the
+    // emitted triples still accumulate for all records.
+    std::mutex mu;
+    std::condition_variable cv_push, cv_pop;
+    std::deque<std::pair<int64_t, std::string>> q;
+    size_t q_bytes = 0;
+    const size_t QCAP = 64;
+    const size_t QBYTES = 256u << 20;
+    bool done = false;
+
+    int T = nthreads > 0 ? nthreads
+                         : (int)std::thread::hardware_concurrency();
+    if (T < 1) T = 1;
     auto work = [&]() {
         std::vector<uint8_t> codes;
         std::vector<uint32_t> hashes;
         for (;;) {
-            int64_t i = next.fetch_add(1);
-            if (i >= n) break;
-            int64_t nw = num_windows_of((int64_t)datas[(size_t)i].size(),
-                                        win, stride);
-            res->seq_windows[(size_t)i] = (int32_t)nw;
-            if ((t0 + i) % num_shards != shard_id) continue;
-            if (datas[(size_t)i].empty()) continue;
-            sketch_one((const uint8_t*)datas[(size_t)i].data(),
-                       (int64_t)datas[(size_t)i].size(), k, s, win, stride,
-                       codes, hashes, res->feat[(size_t)i],
-                       res->wins[(size_t)i]);
+            std::pair<int64_t, std::string> item;
+            {
+                std::unique_lock<std::mutex> lk(mu);
+                cv_pop.wait(lk, [&] { return !q.empty() || done; });
+                if (q.empty()) return;
+                item = std::move(q.front());
+                q.pop_front();
+                q_bytes -= item.second.size();
+                cv_push.notify_one();
+            }
+            sketch_one((const uint8_t*)item.second.data(),
+                       (int64_t)item.second.size(), k, s, win, stride,
+                       codes, hashes, res->feat[(size_t)item.first],
+                       res->wins[(size_t)item.first]);
         }
     };
-    int T = nthreads > 0 ? nthreads
-                         : (int)std::thread::hardware_concurrency();
-    if (T < 1) T = 1;
-    if (T == 1) {
-        work();
-    } else {
-        std::vector<std::thread> threads;
-        for (int t = 0; t < T; ++t) threads.emplace_back(work);
-        for (auto& th : threads) th.join();
+    std::vector<std::thread> threads;
+    for (int t = 0; t < T; ++t) threads.emplace_back(work);
+
+    Record rec;
+    int64_t i = 0;
+    for (;;) {
+        int st = rd.next(rec);
+        if (st < 0) {
+            res->error = rd.error() ? rd.error() : "read error";
+            break;  // error reported via mcio_sk_error
+        }
+        if (st == 0) break;
+        int64_t L = (int64_t)rec.data.size();
+        res->headers.push_back(rec.header);
+        res->seq_lens.push_back(L);
+        res->seq_windows.push_back((int32_t)num_windows_of(L, win, stride));
+        res->feat.emplace_back();
+        res->wins.emplace_back();
+        if ((t0 + i) % num_shards == shard_id && L > 0) {
+            std::unique_lock<std::mutex> lk(mu);
+            cv_push.wait(lk, [&] {
+                return q.empty() || (q.size() < QCAP && q_bytes < QBYTES);
+            });
+            q_bytes += rec.data.size();
+            q.emplace_back(i, std::move(rec.data));
+            cv_pop.notify_one();
+        }
+        ++i;
     }
+    {
+        std::lock_guard<std::mutex> lk(mu);
+        done = true;
+    }
+    cv_pop.notify_all();
+    for (auto& th : threads) th.join();
     for (auto& v : res->feat) res->n_triples += (int64_t)v.size();
     return res;
 }
