@@ -21,7 +21,6 @@ parts"); LMAX must simply be sized for the workload.
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import numpy as np

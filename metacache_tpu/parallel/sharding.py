@@ -38,7 +38,6 @@ src/matches_per_target.h:111-155).
 """
 from __future__ import annotations
 
-import functools
 from typing import List, Optional
 
 import jax
@@ -48,7 +47,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ClassifyParams, QueryPipelineParams
 from ..db.database import Database
-from ..db.taxonomy import Rank
 from ..ops import candidates as cand_ops
 from ..ops import classify_op, lookup
 from ..query.engine import (BatchResult, EngineBase, _rank_code,

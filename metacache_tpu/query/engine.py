@@ -19,7 +19,6 @@ maxWindowsInRange is derived from the pair's combined length
 """
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Dict, List, Optional, Tuple
 
@@ -27,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import (ClassifyParams, FEATURE_SENTINEL, QueryPipelineParams,
+from ..config import (ClassifyParams, QueryPipelineParams,
                       TARGET_SENTINEL)
 from ..db.database import Database
 from ..db.taxonomy import Rank
