@@ -49,3 +49,20 @@ def test_one_pass_shard_union_covers_everything(world):
                                    num_shards=3)
     total = sum(d.features.num_locations for d in shards)
     assert total == full.features.num_locations
+
+
+def test_one_pass_with_spills(world):
+    """One-pass multi-shard build with a tiny chunk budget: every shard's
+    external sorter must spill to disk and still produce tables identical
+    to the in-RAM path."""
+    import dataclasses
+    opt_spill = dataclasses.replace(world["opt"], chunk_triples=1000)
+    spilled = build_database_shards([world["fasta"]], opt_spill,
+                                    num_shards=2)
+    plain = build_database_shards([world["fasta"]], world["opt"],
+                                  num_shards=2)
+    for a, b in zip(spilled, plain):
+        np.testing.assert_array_equal(a.features.keys, b.features.keys)
+        np.testing.assert_array_equal(a.features.offsets, b.features.offsets)
+        np.testing.assert_array_equal(a.features.loc_tgt, b.features.loc_tgt)
+        np.testing.assert_array_equal(a.features.loc_win, b.features.loc_win)
