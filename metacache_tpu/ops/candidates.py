@@ -64,6 +64,36 @@ def _lower_bound_pairs(tgt, win, q_tgt, q_win):
     return lo
 
 
+def _rank_lower_bound_packed(pk, qk, L):
+    """Packed-key variant of _rank_lower_bound: items pk and queries qk are
+    single int32 keys ((tgt << win_bits) | win), both < 2^30, both sorted
+    ascending per row. Returns the per-query lower bound [B, L].
+
+    Two sorts like _rank_lower_bound, but with every operand packed:
+      sort 1: ONE key (pk*2+1 / qk*2 — queries before items at equal key)
+              + ONE payload (pos), vs 3 operands / 2 keys unpacked;
+      sort 2: ONE operand ((flag, pos) packed with the rank), vs 2.
+    Sort bytes are the candidate stage's dominant device cost on the
+    realistic workload (PERF.md round 4), so operand count is the knob.
+    """
+    B = pk.shape[0]
+    pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
+    c_key = jnp.concatenate([qk * 2, pk * 2 + 1], axis=1)
+    c_pos = jnp.concatenate([pos, pos], axis=1)
+    s_key, s_pos = jax.lax.sort((c_key, c_pos), dimension=1, num_keys=1,
+                                is_stable=False)
+    s_item = s_key & 1
+    items_before = jnp.cumsum(s_item, axis=1)
+    # route ranks back to query order with ONE packed operand:
+    # (flag, pos, rank) -> (flag*P2 + pos)*RP + rank; queries (flag 0)
+    # occupy the first L slots ordered by pos, rank decodes by mask
+    P2 = 1 << int(max(1, L - 1)).bit_length()
+    RP = 1 << int(L).bit_length()          # RP > L >= max rank
+    bkey = (s_item * P2 + s_pos) * RP + items_before
+    sb = jax.lax.sort(bkey, dimension=1, is_stable=False)
+    return sb[:, :L] & (RP - 1)
+
+
 def _rank_lower_bound(tgt, win, q_win):
     """left[b, j] = #{i : (tgt[b,i], win[b,i]) < (tgt[b,j], q_win[b,j])}
     via co-sorting matches and queries (rank-by-sort).
@@ -148,9 +178,9 @@ def _segment_broadcast_min(values, new_seg, vmax: int):
     return vmax - _segment_broadcast_max(vmax - values, new_seg, vmax)
 
 
-@functools.partial(jax.jit, static_argnames=("max_candidates",))
+@functools.partial(jax.jit, static_argnames=("max_candidates", "win_bits"))
 def generate_candidates(tgt, win, num_windows, target_cand_tax,
-                        max_candidates: int):
+                        max_candidates: int, win_bits: int = 0):
     """Top-k candidates per read.
 
     Args:
@@ -164,6 +194,12 @@ def generate_candidates(tgt, win, num_windows, target_cand_tax,
                    the target's own sequence-level taxon node). The last
                    entry is a scratch slot for the sentinel target.
       max_candidates: static top-k size.
+      win_bits: static width of the DB's packed (tgt << win_bits | win)
+                location encoding. When > 0 and the packed keys fit 30
+                bits, every sort in this stage runs with packed
+                single-word operands (~40% less sort traffic — the
+                stage's dominant device cost, PERF.md round 4). 0 falls
+                back to the multi-operand formulation (result-identical).
 
     Returns dict of [B, C] arrays: tax, hits, beg, end, tgt
       (tax==0 marks an empty candidate slot).
@@ -174,9 +210,31 @@ def generate_candidates(tgt, win, num_windows, target_cand_tax,
     valid = tgt != TARGET_SENTINEL
     pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
 
+    # static gates for the packed-operand path: keys must fit 30 bits
+    # (pk*2+1 < 2^31 in the rank sort) and the (hits, pos, left) pack must
+    # fit 31 (L <= 512 covers every engine configuration; lmax defaults 256)
+    P2 = 1 << int(max(1, L - 1)).bit_length()
+    LP = 1 << int(L).bit_length()
+    pk_ok = (win_bits > 0 and ((T1 - 1) << win_bits) <= 2**30 - 1
+             and (L * P2 + P2 - 1) * LP + L < 2**31)
+    PK_PAD = jnp.int32(2**30 - 1)
+
     # ---- per-element contiguous-range hit count --------------------------
-    q_win = win - num_windows[:, None] + 1
-    left = _rank_lower_bound(tgt, win, q_win)
+    if pk_ok:
+        # items and window queries as single packed keys: the query
+        # (tgt, max(win - numWindows + 1, 0)) is max(pk - (nw-1), segment
+        # base) — clamping at the target's window 0 is exact because no
+        # stored window id is negative
+        pk_raw = (tgt << win_bits) | win
+        pk = jnp.where(valid, pk_raw, PK_PAD)
+        base = pk_raw & jnp.int32(~((1 << win_bits) - 1))
+        qk = jnp.where(valid,
+                       jnp.maximum(pk_raw - (num_windows[:, None] - 1), base),
+                       PK_PAD)
+        left = _rank_lower_bound_packed(pk, qk, L)
+    else:
+        q_win = win - num_windows[:, None] + 1
+        left = _rank_lower_bound(tgt, win, q_win)
     hits = jnp.where(valid, pos - left + 1, 0).astype(jnp.int32)
 
     # ---- per-target best (segmented scans, first achiever) ---------------
@@ -198,35 +256,59 @@ def generate_candidates(tgt, win, num_windows, target_cand_tax,
     # (hits <= L, pos < L <= P2) — same lexicographic order, two fewer
     # sort operands, and hits/pos decode back by divmod. Sort bytes are
     # this stage's dominant cost (PERF.md round 4).
-    P2 = 1 << int(max(1, L - 1)).bit_length()
     hp = (L - hits) * P2 + pos
-    s_key, s_hp, s_left, s_end, s_tgt = jax.lax.sort(
-        (key, hp, left, win, tgt), dimension=1, num_keys=2,
-        is_stable=False)
-    first_of_key = jnp.concatenate(
-        [jnp.ones((B, 1), dtype=jnp.bool_), s_key[:, 1:] != s_key[:, :-1]],
-        axis=1)
-    winner = first_of_key & (s_key != _BIG)
-
-    # ---- final top-k by (hits desc, consume order asc) --------------------
-    # = ascending hp; one single-key sort + slice instead of lax.top_k +
-    # per-field take_along_axis gathers (~0.7 MB of generated code EACH on
-    # this backend — see PERF.md round 3)
-    o_hp = jnp.where(winner, s_hp, _BIG)
-    f_hp, f_key, f_left, f_end, f_tgt = jax.lax.sort(
-        (o_hp, s_key, s_left, s_end, s_tgt), dimension=1,
-        num_keys=1, is_stable=False)
     Cn = max_candidates
-    top_ok = f_hp[:, :Cn] != _BIG
-    f_hits = L - f_hp[:, :Cn] // P2
-    top_left = jnp.clip(f_left[:, :Cn], 0, L - 1)
+    if pk_ok:
+        # pack further: (hp, left) in one word (left <= L < LP; secondary
+        # tie-break by left is inert — pos is already unique per row) and
+        # (end, tgt) as the original packed location word. 3 sort operands
+        # instead of 5, twice.
+        hpl = hp * LP + left
+        s_key, s_hpl, s_pk = jax.lax.sort(
+            (key, hpl, pk_raw), dimension=1, num_keys=2, is_stable=False)
+        first_of_key = jnp.concatenate(
+            [jnp.ones((B, 1), dtype=jnp.bool_),
+             s_key[:, 1:] != s_key[:, :-1]], axis=1)
+        winner = first_of_key & (s_key != _BIG)
+
+        o_hpl = jnp.where(winner, s_hpl, _BIG)
+        f_hpl, f_key, f_pk = jax.lax.sort(
+            (o_hpl, s_key, s_pk), dimension=1, num_keys=1, is_stable=False)
+        top_ok = f_hpl[:, :Cn] != _BIG
+        f_hp = f_hpl[:, :Cn] // LP
+        f_hits = L - f_hp // P2
+        top_left = jnp.clip(f_hpl[:, :Cn] & (LP - 1), 0, L - 1)
+        f_end = f_pk[:, :Cn] & jnp.int32((1 << win_bits) - 1)
+        f_tgt = f_pk[:, :Cn] >> win_bits
+    else:
+        s_key, s_hp, s_left, s_end, s_tgt = jax.lax.sort(
+            (key, hp, left, win, tgt), dimension=1, num_keys=2,
+            is_stable=False)
+        first_of_key = jnp.concatenate(
+            [jnp.ones((B, 1), dtype=jnp.bool_),
+             s_key[:, 1:] != s_key[:, :-1]], axis=1)
+        winner = first_of_key & (s_key != _BIG)
+
+        # ---- final top-k by (hits desc, consume order asc) ----------------
+        # = ascending hp; one single-key sort + slice instead of lax.top_k +
+        # per-field take_along_axis gathers (~0.7 MB of generated code EACH
+        # on this backend — see PERF.md round 3)
+        o_hp = jnp.where(winner, s_hp, _BIG)
+        f_hp, f_key, f_left, f_end, f_tgt = jax.lax.sort(
+            (o_hp, s_key, s_left, s_end, s_tgt), dimension=1,
+            num_keys=1, is_stable=False)
+        top_ok = f_hp[:, :Cn] != _BIG
+        f_hits = L - f_hp[:, :Cn] // P2
+        top_left = jnp.clip(f_left[:, :Cn], 0, L - 1)
+        f_end = f_end[:, :Cn]
+        f_tgt = f_tgt[:, :Cn]
     beg = jnp.take_along_axis(win, top_left, axis=1)
     return {
         "tax": jnp.where(top_ok, f_key[:, :Cn], 0),
         "hits": jnp.where(top_ok, f_hits, 0),
         "beg": jnp.where(top_ok, beg, 0),
-        "end": jnp.where(top_ok, f_end[:, :Cn], 0),
-        "tgt": jnp.where(top_ok, f_tgt[:, :Cn], TARGET_SENTINEL),
+        "end": jnp.where(top_ok, f_end, 0),
+        "tgt": jnp.where(top_ok, f_tgt, TARGET_SENTINEL),
     }
 
 

@@ -136,7 +136,8 @@ def local_candidates(packed1, ambig1, lens1, packed2, ambig2, lens2,
     num_windows = (2 + pair_len // window_stride).astype(jnp.int32)
 
     cand = cand_ops.generate_candidates(tgt, win, num_windows,
-                                        target_cand_tax, max_candidates)
+                                        target_cand_tax, max_candidates,
+                                        win_bits=win_bits)
     return cand, tgt, win, total, overflow
 
 

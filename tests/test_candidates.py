@@ -23,6 +23,15 @@ def run_device(match_lists, num_windows, tgt_to_tax, num_targets, max_cand):
         tmap[t] = tgt_to_tax[t][0]
     out = cand_ops.generate_candidates(
         tgt, win, np.asarray(num_windows, np.int32), tmap, max_cand)
+    # the packed-operand path (win_bits > 0) must be result-identical to
+    # the multi-operand formulation on every oracle case
+    out_pk = cand_ops.generate_candidates(
+        tgt, win, np.asarray(num_windows, np.int32), tmap, max_cand,
+        win_bits=16)
+    for kk in out:
+        np.testing.assert_array_equal(np.asarray(out[kk]),
+                                      np.asarray(out_pk[kk]),
+                                      err_msg=f"packed path differs: {kk}")
     return {k: np.asarray(v) for k, v in out.items()}
 
 
