@@ -178,9 +178,11 @@ def _segment_broadcast_min(values, new_seg, vmax: int):
     return vmax - _segment_broadcast_max(vmax - values, new_seg, vmax)
 
 
-@functools.partial(jax.jit, static_argnames=("max_candidates", "win_bits"))
+@functools.partial(jax.jit, static_argnames=("max_candidates", "win_bits",
+                                             "ci_shift"))
 def generate_candidates(tgt, win, num_windows, target_cand_tax,
-                        max_candidates: int, win_bits: int = 0):
+                        max_candidates: int, win_bits: int = 0,
+                        ci_shift: int = 0):
     """Top-k candidates per read.
 
     Args:
@@ -200,6 +202,18 @@ def generate_candidates(tgt, win, num_windows, target_cand_tax,
                 single-word operands (~40% less sort traffic — the
                 stage's dominant device cost, PERF.md round 4). 0 falls
                 back to the multi-operand formulation (result-identical).
+      ci_shift: static bit position of a COMPACT CANDIDATE-TAXON INDEX
+                baked into the tgt field: tgt = (ci << ci_shift) | raw_tgt
+                (engine-side seg encoding). The dedup key is then just
+                tgt >> ci_shift — replacing the [B, L] tiny-table gather
+                target_cand_tax[tgt], which costs ~17-19 ms/batch on this
+                backend (tools/exp_r4_glue2.py / exp_r4_gathermap.py: ANY
+                per-element word gather is ~75 ns/element regardless of
+                table size). In this mode the "tax" output is ci + 1
+                (compact index, 0 = empty) and "tgt" stays seg-encoded;
+                the engine decodes both host-side. target_cand_tax is
+                unused. Requires win_bits > 0 and the seg keys to pass the
+                30-bit gate.
 
     Returns dict of [B, C] arrays: tax, hits, beg, end, tgt
       (tax==0 marks an empty candidate slot).
@@ -210,13 +224,19 @@ def generate_candidates(tgt, win, num_windows, target_cand_tax,
     valid = tgt != TARGET_SENTINEL
     pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
 
-    # static gates for the packed-operand path: keys must fit 30 bits
-    # (pk*2+1 < 2^31 in the rank sort) and the (hits, pos, left) pack must
-    # fit 31 (L <= 512 covers every engine configuration; lmax defaults 256)
+    # static gates, independent knobs:
+    #  - pk_ok: packed single-key rank-lower-bound — the (tgt, win) keys
+    #    must fit 30 bits (pk*2+1 < 2^31 in the rank sort). In seg mode
+    #    the CALLER guarantees the fit (it computed the max seg value).
+    #  - hpl_ok: the (hits, pos, left) one-word payload pack must fit 31
+    #    bits (holds for L <= 512; engine lmax defaults 256).
     P2 = 1 << int(max(1, L - 1)).bit_length()
     LP = 1 << int(L).bit_length()
-    pk_ok = (win_bits > 0 and ((T1 - 1) << win_bits) <= 2**30 - 1
-             and (L * P2 + P2 - 1) * LP + L < 2**31)
+    pk_ok = win_bits > 0 and (
+        ci_shift > 0 or ((T1 - 1) << win_bits) <= 2**30 - 1)
+    hpl_ok = (L * P2 + P2 - 1) * LP + L < 2**31
+    if ci_shift > 0:
+        assert win_bits > 0, "seg encoding requires the packed-key path"
     PK_PAD = jnp.int32(2**30 - 1)
 
     # ---- per-element contiguous-range hit count --------------------------
@@ -248,8 +268,14 @@ def generate_candidates(tgt, win, num_windows, target_cand_tax,
     rep = achiever & (pos == first_pos)
 
     # ---- map targets to candidate taxa (merge below lowest rank) ---------
-    safe_tgt = jnp.where(valid, tgt, T1 - 1)
-    key = jnp.where(rep, target_cand_tax[safe_tgt], _BIG)
+    if ci_shift > 0:
+        # compact taxon index from the seg-encoded high bits — NO gather
+        # (dedup-by-ci == dedup-by-taxon: ci <-> taxon is a bijection);
+        # +1 keeps 0 as the empty-slot marker
+        key = jnp.where(rep, (tgt >> ci_shift) + 1, _BIG)
+    else:
+        safe_tgt = jnp.where(valid, tgt, T1 - 1)
+        key = jnp.where(rep, target_cand_tax[safe_tgt], _BIG)
 
     # ---- dedup by taxon: keep max hits, first achiever on ties -----------
     # (hits desc, pos asc) packs into ONE sort key: hp = (L-hits)*P2 + pos
@@ -258,7 +284,7 @@ def generate_candidates(tgt, win, num_windows, target_cand_tax,
     # this stage's dominant cost (PERF.md round 4).
     hp = (L - hits) * P2 + pos
     Cn = max_candidates
-    if pk_ok:
+    if pk_ok and hpl_ok:
         # pack further: (hp, left) in one word (left <= L < LP; secondary
         # tie-break by left is inert — pos is already unique per row) and
         # (end, tgt) as the original packed location word. 3 sort operands

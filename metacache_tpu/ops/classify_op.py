@@ -21,6 +21,27 @@ import jax
 import jax.numpy as jnp
 
 
+def _lineage_rows(ranked_lineage, tax):
+    """ranked_lineage[tax] without the per-element gather when the table is
+    small: [B] word-gathers cost ~75-170 ns/element on this backend
+    regardless of table size (tools/exp_r4_gathermap.py), so a [B, N]
+    one-hot f32 matmul (exact for entries < 2^26 via a 13-bit split) is
+    ~5-10x faster for the small per-engine candidate-lineage tables
+    (QueryEngine._lineage_small). Entries must be < 2^26 — guaranteed for
+    node indices whenever the full taxonomy has < 2^26 nodes (the same
+    bound the packed summary word already requires)."""
+    N, R = ranked_lineage.shape
+    if N > 2048:
+        return ranked_lineage[tax]
+    oh = (tax[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+          ).astype(jnp.float32)
+    lo = (ranked_lineage & 0x1FFF).astype(jnp.float32)
+    hi = (ranked_lineage >> 13).astype(jnp.float32)
+    lor = jnp.dot(oh, lo, preferred_element_type=jnp.float32)
+    hir = jnp.dot(oh, hi, preferred_element_type=jnp.float32)
+    return lor.astype(jnp.int32) + (hir.astype(jnp.int32) << 13)
+
+
 @functools.partial(jax.jit, static_argnames=("highest_rank",))
 def classify_lca(cand_tax, cand_hits, ranked_lineage, hits_min,
                  hits_diff_fraction, highest_rank: int):
@@ -52,12 +73,12 @@ def classify_lca(cand_tax, cand_hits, ranked_lineage, hits_min,
         (hits0 - hits_min).astype(jnp.float32) * hits_diff_fraction,
         jnp.float32(0.0))
 
-    lin = ranked_lineage[cand_tax[:, 0]]          # [B, R]
+    lin = _lineage_rows(ranked_lineage, cand_tax[:, 0])   # [B, R]
     include_prefix = jnp.ones((B,), dtype=bool)
     for i in range(1, C):
         inc = include_prefix & (cand_hits[:, i].astype(jnp.float32) > thr) \
             & (cand_tax[:, i] > 0)
-        lin_i = ranked_lineage[cand_tax[:, i]]
+        lin_i = _lineage_rows(ranked_lineage, cand_tax[:, i])
         folded = jnp.where(lin == lin_i, lin, 0)
         lin = jnp.where(inc[:, None], folded, lin)
         include_prefix = inc

@@ -219,6 +219,34 @@ class ShardedQueryEngine(EngineBase):
             dbs, pad_keys_to=pad_f, pad_locs_to=pad_l,
             win_bits=win_bits if packable else 0)
         self._win_bits = win_bits if packed is not None else 0
+        # seg encoding (see QueryEngine: compact candidate-taxon index in
+        # the high bits of every packed location word -> the candidate
+        # stage's dedup taxon comes from bits instead of a ~17 ms/batch
+        # tiny-table gather, and classification uses a small one-hot-dot
+        # lineage table). All inputs are replicated across hosts (tct,
+        # target_count, the agreed win_bits), so every process derives the
+        # same static seg parameters without another allgather.
+        tct_np = np.asarray(self.db.target_cand_tax(self.lowest_rank))
+        n_nodes = int(self.db.taxonomy.ranked_lineage.shape[0])
+        self._seg_shift = 0
+        self._uniq_tct = None
+        lineage_np = self.db.taxonomy.ranked_lineage.astype(np.int32)
+        if packed is not None and self.db.target_count > 0 \
+                and n_nodes < (1 << 26):
+            T = self.db.target_count
+            uniq = np.unique(tct_np[:T])
+            nci = len(uniq)
+            tb = max(1, int(max(T - 1, 1)).bit_length())
+            seg_max = ((nci - 1) << tb) | (T - 1)
+            if nci + 1 <= 2048 and \
+                    (int(seg_max) << win_bits) * 2 + 1 < 2**31:
+                ci_of_t = np.searchsorted(uniq, tct_np[:T]).astype(np.int64)
+                t_of_loc = packed.astype(np.int64) >> win_bits
+                packed = (packed.astype(np.int64) | (
+                    ci_of_t[t_of_loc] << (tb + win_bits))).astype(np.int32)
+                self._seg_shift = tb
+                self._uniq_tct = uniq.astype(np.int32)
+                lineage_np = lineage_np[np.concatenate([[0], uniq])]
         buckets = []
         radix_steps = 1
         for i in range(keys.shape[0]):
@@ -270,8 +298,7 @@ class ShardedQueryEngine(EngineBase):
                 self._direct_tbl = dist.put_sharded(tbls, mesh)
         self._tct = dist.put_replicated(
             np.asarray(self.db.target_cand_tax(self.lowest_rank)), mesh)
-        self._lineage = dist.put_replicated(
-            self.db.taxonomy.ranked_lineage.astype(np.int32), mesh)
+        self._lineage = dist.put_replicated(lineage_np, mesh)
         self._dist = dist
         self._target_groups = None
         self._compiled = {}
@@ -315,6 +342,7 @@ class ShardedQueryEngine(EngineBase):
         search_steps = self._search_steps
         use_pallas = self._use_pallas
         win_bits = self._win_bits
+        ci_shift = self._seg_shift
         twk = self.target_window_k
         has_packed = self._loc_packed is not None
         has_direct = direct_mb > 0 and self._direct_tbl is not None
@@ -343,7 +371,7 @@ class ShardedQueryEngine(EngineBase):
                 starts=starts, lmax=lmax, max_candidates=C,
                 insert_size_max=insert_max, search_steps=search_steps,
                 use_pallas_sketch=use_pallas, win_bits=win_bits,
-                direct_mb=direct_mb)
+                direct_mb=direct_mb, ci_shift=ci_shift)
             B = tgt.shape[0]
 
             # ---- cross-shard candidate merge over ICI ----
@@ -432,6 +460,8 @@ class ShardedQueryEngine(EngineBase):
         out = {"cand": merged, "best": best, "best_rank": best_rank,
                "match_total": tot, "match_overflow": ovf,
                "summary": summary, "_sfmt": sfmt}
+        if self._seg_shift:
+            out["_seg_decode"] = (self._seg_shift, self._uniq_tct)
         if twh is not None:
             out["target_window_hits"] = twh
         return out

@@ -86,7 +86,7 @@ def local_candidates(packed1, ambig1, lens1, packed2, ambig2, lens2,
                      window_stride: int, starts: Tuple[int, ...],
                      lmax: int, max_candidates: int, insert_size_max: int,
                      search_steps: int, use_pallas_sketch: bool,
-                     win_bits: int, direct_mb: int = 0):
+                     win_bits: int, direct_mb: int = 0, ci_shift: int = 0):
     """Sketch -> lookup -> (clade exclusion) -> candidate generation over
     ONE feature-table (shard). Shared by the single-chip engine and each
     shard of the sharded engine (the reference runs the identical local
@@ -121,7 +121,10 @@ def local_candidates(packed1, ambig1, lens1, packed2, ambig2, lens2,
 
     if exclude_groups is not None and target_groups is not None:
         T1 = target_groups.shape[0]
-        safe = jnp.where(tgt == TARGET_SENTINEL, T1 - 1, tgt)
+        # seg-encoded tgt fields carry the compact taxon index in the high
+        # bits; target_groups is indexed by RAW target id
+        raw = tgt if ci_shift == 0 else tgt & jnp.int32((1 << ci_shift) - 1)
+        safe = jnp.where(tgt == TARGET_SENTINEL, T1 - 1, raw)
         excl = (target_groups[safe] == exclude_groups[:, None]) & \
             (exclude_groups[:, None] > 0)
         tgt = jnp.where(excl, TARGET_SENTINEL, tgt)
@@ -137,7 +140,8 @@ def local_candidates(packed1, ambig1, lens1, packed2, ambig2, lens2,
 
     cand = cand_ops.generate_candidates(tgt, win, num_windows,
                                         target_cand_tax, max_candidates,
-                                        win_bits=win_bits)
+                                        win_bits=win_bits,
+                                        ci_shift=ci_shift)
     return cand, tgt, win, total, overflow
 
 
@@ -248,7 +252,7 @@ def unpack_summary_word(v: np.ndarray):
                      "max_candidates", "highest_rank", "window_stride",
                      "insert_size_max", "target_window_k", "search_steps",
                      "use_pallas_sketch", "win_bits", "qlen", "direct_mb",
-                     "wire", "sfmt", "len_bytes"))
+                     "wire", "sfmt", "len_bytes", "ci_shift"))
 def _query_batch_device(fused,
                         keys, offsets, loc_tgt, loc_win, target_cand_tax,
                         ranked_lineage, hits_min, hits_diff,
@@ -264,8 +268,14 @@ def _query_batch_device(fused,
                         use_pallas_sketch: bool = False,
                         win_bits: int = 0, direct_mb: int = 0,
                         wire: str = "legacy", sfmt: str = "s4",
-                        len_bytes: int = 1):
-    """One fused device program: 2-bit-packed reads -> classification."""
+                        len_bytes: int = 1, ci_shift: int = 0):
+    """One fused device program: 2-bit-packed reads -> classification.
+
+    When ci_shift > 0 the location words are seg-encoded (compact
+    candidate-taxon index in the high bits, QueryEngine seg encoding):
+    ranked_lineage must then be the engine's small per-candidate-taxon
+    lineage table, cand["tax"] is ci + 1 and cand["tgt"] seg-encoded
+    (decoded host-side by BatchResult)."""
     if wire == "slim":
         packed1, ambig1, lens1, packed2, ambig2, lens2 = \
             unfuse_device_inputs_slim(fused, qlen, len_bytes)
@@ -281,7 +291,7 @@ def _query_batch_device(fused,
         window_stride=window_stride, starts=starts, lmax=lmax,
         max_candidates=max_candidates, insert_size_max=insert_size_max,
         search_steps=search_steps, use_pallas_sketch=use_pallas_sketch,
-        win_bits=win_bits, direct_mb=direct_mb)
+        win_bits=win_bits, direct_mb=direct_mb, ci_shift=ci_shift)
     best, best_rank = classify_op.classify_lca(
         cand["tax"], cand["hits"], ranked_lineage, hits_min, hits_diff,
         highest_rank)
@@ -387,6 +397,18 @@ class BatchResult:
                     for k in path:
                         pv = pv[k]
                     v[rows] = _to_host(pv)[off:off + len(rows)]
+            sd = out.get("_seg_decode")
+            if sd is not None and name in ("cand_tax", "cand_tgt"):
+                # seg encoding (QueryEngine): tax is a compact candidate-
+                # taxon index + 1, tgt carries that index in its high bits
+                shift, uniq = sd
+                v = np.asarray(v)
+                if name == "cand_tax":
+                    v = np.where(v > 0, uniq[np.maximum(v - 1, 0)], 0)
+                else:
+                    from ..config import TARGET_SENTINEL as _TS
+                    v = np.where(v == _TS, v,
+                                 v & np.int32((1 << shift) - 1))
             cache[name] = v
         return cache[name]
 
@@ -820,6 +842,39 @@ class QueryEngine(EngineBase):
         self._keys = jnp.asarray(keys)
         self._offsets = jnp.asarray(offsets)
         packed, self._win_bits = db.features.packed_locations()
+        # seg encoding: bake a compact candidate-taxon index (ci) into the
+        # high bits of every packed location word, so the candidate stage
+        # reads the dedup taxon from bits instead of a [B, L] tiny-table
+        # gather (~17-19 ms/batch on this backend: ANY per-element word
+        # gather costs ~75 ns/element regardless of table size,
+        # tools/exp_r4_gathermap.py), and classification runs against a
+        # [nci+1, R] lineage table via an exact one-hot matmul
+        # (ops/classify_op._lineage_rows) instead of full-table row
+        # gathers. Result-identical: ci <-> candidate taxon is a bijection.
+        tct_np = np.asarray(db.target_cand_tax(self.lowest_rank))
+        n_nodes = int(db.taxonomy.ranked_lineage.shape[0])
+        self._seg_shift = 0
+        self._uniq_tct = None
+        self._lineage_small = None
+        if packed is not None and db.target_count > 0 \
+                and n_nodes < (1 << 26):
+            T = db.target_count
+            uniq = np.unique(tct_np[:T])
+            nci = len(uniq)
+            tb = max(1, int(max(T - 1, 1)).bit_length())
+            seg_max = ((nci - 1) << tb) | (T - 1)
+            if nci + 1 <= 2048 and \
+                    (int(seg_max) << self._win_bits) * 2 + 1 < 2**31:
+                ci_of_t = np.searchsorted(uniq, tct_np[:T]).astype(np.int64)
+                t_of_loc = packed.astype(np.int64) >> self._win_bits
+                packed = (packed.astype(np.int64) | (
+                    ci_of_t[t_of_loc] << (tb + self._win_bits))
+                ).astype(np.int32)
+                self._seg_shift = tb
+                self._uniq_tct = uniq.astype(np.int32)
+                self._lineage_small = jnp.asarray(
+                    db.taxonomy.ranked_lineage[
+                        np.concatenate([[0], uniq])].astype(np.int32))
         if packed is None:
             self._loc_tgt = jnp.asarray(loc_tgt)
             self._loc_win = jnp.asarray(loc_win)
@@ -879,7 +934,7 @@ class QueryEngine(EngineBase):
                 self._direct_tbl = jnp.asarray(lookup.build_direct_table(
                     np.asarray(offsets[:-1]), sizes.astype(np.int32),
                     packed, self._direct_mb))
-        self._tct = jnp.asarray(db.target_cand_tax(self.lowest_rank))
+        self._tct = jnp.asarray(tct_np)
         self._lineage = jnp.asarray(db.taxonomy.ranked_lineage)
         # classification thresholds as device-resident scalars: creating
         # them per dispatch costs two extra host->device copies per batch,
@@ -922,7 +977,8 @@ class QueryEngine(EngineBase):
         out = _query_batch_device(
             jnp.asarray(fused),
             self._keys, self._offsets, self._loc_tgt, self._loc_win,
-            self._tct, self._lineage,
+            self._tct,
+            self._lineage_small if self._seg_shift else self._lineage,
             self._hits_min_dev, self._hits_diff_dev,
             exclude_groups if exclude_groups is None
             else jnp.asarray(exclude_groups),
@@ -945,8 +1001,11 @@ class QueryEngine(EngineBase):
             search_steps=self._search_steps,
             use_pallas_sketch=self._use_pallas,
             win_bits=self._win_bits, direct_mb=direct_mb,
-            wire=wire, sfmt=sfmt, len_bytes=self._len_bytes)
+            wire=wire, sfmt=sfmt, len_bytes=self._len_bytes,
+            ci_shift=self._seg_shift)
         out["_sfmt"] = sfmt
+        if self._seg_shift:
+            out["_seg_decode"] = (self._seg_shift, self._uniq_tct)
         return out
 
 

@@ -94,6 +94,16 @@ def main():
     cand = stat("generate_candidates(L=%d)" % tgt.shape[1], cands, tgt,
                 win, nw)
 
+    def cands_pk(tgt, win, nw):
+        return cand_ops.generate_candidates(tgt, win, nw, eng._tct,
+                                            eng.classify.max_candidates,
+                                            win_bits=eng._win_bits)
+    cand_pk = stat("generate_candidates(packed)", cands_pk, tgt, win, nw)
+    for kk in cand:
+        np.testing.assert_array_equal(np.asarray(cand[kk]),
+                                      np.asarray(cand_pk[kk]))
+    print("packed candidates == legacy candidates on this batch")
+
     def cls(tax, hits):
         return classify_op.classify_lca(tax, hits, eng._lineage,
                                         eng._hits_min_dev,
