@@ -76,40 +76,50 @@ def main():
 
     mb = eng._direct_mb
 
-    def lk(features):
+    steps = eng._search_steps
+    wbits = eng._win_bits
+
+    def lk(features, keys, start_tbl, cnt_tbl, buckets, direct_tbl):
         return lookup.lookup_matches_direct(
-            features, eng._keys, eng._start_tbl, eng._cnt_tbl,
+            features, keys, start_tbl, cnt_tbl,
             eng._loc_tgt, eng._loc_win, mb,
-            bucket_offsets=eng._bucket_offsets,
-            search_steps=eng._search_steps, loc_packed=eng._loc_packed,
-            win_bits=eng._win_bits)
-    tgt, win, total, overflow = stat("lookup_matches_direct(mb=%d)" % mb,
-                                     lk, features)
+            bucket_offsets=buckets,
+            search_steps=steps, loc_packed=None,
+            win_bits=wbits, direct_tbl=direct_tbl)
+    tgt, win, total, overflow = stat(
+        "lookup_direct(mb=%d,row-tbl)" % mb, lk, features, eng._keys,
+        eng._start_tbl, eng._cnt_tbl, eng._bucket_offsets, eng._direct_tbl)
+
+    def lk_search(features, keys, buckets):
+        return lookup.global_lower_bound(keys, features, buckets, steps)
+    stat("  lookup: radix search (%d steps)" % steps,
+         lk_search, features, eng._keys, eng._bucket_offsets)
+
+    def lk_rowgather(features, keys, buckets, direct_tbl):
+        idx = lookup.global_lower_bound(keys, features, buckets, steps)
+        return direct_tbl[jnp.minimum(idx, direct_tbl.shape[0] - 1)]
+    stat("  lookup: search + direct row gather", lk_rowgather, features,
+         eng._keys, eng._bucket_offsets, eng._direct_tbl)
 
     nw = jnp.full((8192,), 4, jnp.int32)
 
     def cands(tgt, win, nw):
         return cand_ops.generate_candidates(tgt, win, nw, eng._tct,
-                                            eng.classify.max_candidates)
-    cand = stat("generate_candidates(L=%d)" % tgt.shape[1], cands, tgt,
-                win, nw)
-
-    def cands_pk(tgt, win, nw):
-        return cand_ops.generate_candidates(tgt, win, nw, eng._tct,
                                             eng.classify.max_candidates,
-                                            win_bits=eng._win_bits)
-    cand_pk = stat("generate_candidates(packed)", cands_pk, tgt, win, nw)
-    for kk in cand:
-        np.testing.assert_array_equal(np.asarray(cand[kk]),
-                                      np.asarray(cand_pk[kk]))
-    print("packed candidates == legacy candidates on this batch")
+                                            win_bits=eng._win_bits,
+                                            ci_shift=eng._seg_shift)
+    cand = stat("generate_candidates(L=%d,seg=%d)" % (
+        tgt.shape[1], eng._seg_shift), cands, tgt, win, nw)
+
+    lineage = eng._lineage_small if eng._seg_shift else eng._lineage
 
     def cls(tax, hits):
-        return classify_op.classify_lca(tax, hits, eng._lineage,
+        return classify_op.classify_lca(tax, hits, lineage,
                                         eng._hits_min_dev,
                                         eng._hits_diff_dev,
                                         eng.highest_rank)
-    stat("classify_lca", cls, cand["tax"], cand["hits"])
+    stat("classify_lca(N=%d)" % lineage.shape[0], cls,
+         cand["tax"], cand["hits"])
 
     # sub-bisect of generate_candidates at this width
     def rank_lb(tgt, win, nw):
