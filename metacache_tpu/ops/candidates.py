@@ -126,6 +126,25 @@ def _rank_lower_bound(tgt, win, q_win):
     return back[:, :L]
 
 
+def _onehot_map(values, idx):
+    """values[idx] for a small table without the per-element gather: exact
+    one-hot f32 matmuls with a 13-bit value split (same trick as
+    classify_op._lineage_rows). Word gathers cost ~75 ns/element on this
+    backend in staged windows regardless of table size; the one-hot dot is
+    ~6x faster at [8192, 256] x 200 entries (tools/exp_r4_gathermap.py).
+    Requires 0 <= values < 2^26 and 0 <= idx < len(values)."""
+    T = values.shape[0]
+    oh = (idx[..., None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, T), 2)).astype(jnp.float32)
+    lo = (values & 0x1FFF).astype(jnp.float32)
+    hi = (values >> 13).astype(jnp.float32)
+    mlo = jax.lax.dot_general(oh, lo, (((2,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    mhi = jax.lax.dot_general(oh, hi, (((2,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return mlo.astype(jnp.int32) + (mhi.astype(jnp.int32) << 13)
+
+
 def _prefix_max(x):
     """Inclusive prefix max along axis 1 via log-shift steps.
 
@@ -179,10 +198,10 @@ def _segment_broadcast_min(values, new_seg, vmax: int):
 
 
 @functools.partial(jax.jit, static_argnames=("max_candidates", "win_bits",
-                                             "ci_shift"))
+                                             "ci_shift", "tax_onehot"))
 def generate_candidates(tgt, win, num_windows, target_cand_tax,
                         max_candidates: int, win_bits: int = 0,
-                        ci_shift: int = 0):
+                        ci_shift: int = 0, tax_onehot: bool = False):
     """Top-k candidates per read.
 
     Args:
@@ -275,7 +294,15 @@ def generate_candidates(tgt, win, num_windows, target_cand_tax,
         key = jnp.where(rep, (tgt >> ci_shift) + 1, _BIG)
     else:
         safe_tgt = jnp.where(valid, tgt, T1 - 1)
-        key = jnp.where(rep, target_cand_tax[safe_tgt], _BIG)
+        if tax_onehot and T1 <= 2048:
+            # configurations whose seg keys don't fit 30 bits (config-3's
+            # ci+tgt+win = 32) still avoid the per-element map gather:
+            # the caller asserts node indices < 2^26 (same bound as the
+            # packed summary word)
+            mapped = _onehot_map(target_cand_tax, safe_tgt)
+        else:
+            mapped = target_cand_tax[safe_tgt]
+        key = jnp.where(rep, mapped, _BIG)
 
     # ---- dedup by taxon: keep max hits, first achiever on ties -----------
     # (hits desc, pos asc) packs into ONE sort key: hp = (L-hits)*P2 + pos

@@ -343,6 +343,7 @@ class ShardedQueryEngine(EngineBase):
         use_pallas = self._use_pallas
         win_bits = self._win_bits
         ci_shift = self._seg_shift
+        tax_onehot = self._seg_shift == 0 and self._pack_ok
         twk = self.target_window_k
         has_packed = self._loc_packed is not None
         has_direct = direct_mb > 0 and self._direct_tbl is not None
@@ -371,7 +372,8 @@ class ShardedQueryEngine(EngineBase):
                 starts=starts, lmax=lmax, max_candidates=C,
                 insert_size_max=insert_max, search_steps=search_steps,
                 use_pallas_sketch=use_pallas, win_bits=win_bits,
-                direct_mb=direct_mb, ci_shift=ci_shift)
+                direct_mb=direct_mb, ci_shift=ci_shift,
+                tax_onehot=tax_onehot)
             B = tgt.shape[0]
 
             # ---- cross-shard candidate merge over ICI ----

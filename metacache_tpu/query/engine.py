@@ -86,7 +86,8 @@ def local_candidates(packed1, ambig1, lens1, packed2, ambig2, lens2,
                      window_stride: int, starts: Tuple[int, ...],
                      lmax: int, max_candidates: int, insert_size_max: int,
                      search_steps: int, use_pallas_sketch: bool,
-                     win_bits: int, direct_mb: int = 0, ci_shift: int = 0):
+                     win_bits: int, direct_mb: int = 0, ci_shift: int = 0,
+                     tax_onehot: bool = False):
     """Sketch -> lookup -> (clade exclusion) -> candidate generation over
     ONE feature-table (shard). Shared by the single-chip engine and each
     shard of the sharded engine (the reference runs the identical local
@@ -141,7 +142,8 @@ def local_candidates(packed1, ambig1, lens1, packed2, ambig2, lens2,
     cand = cand_ops.generate_candidates(tgt, win, num_windows,
                                         target_cand_tax, max_candidates,
                                         win_bits=win_bits,
-                                        ci_shift=ci_shift)
+                                        ci_shift=ci_shift,
+                                        tax_onehot=tax_onehot)
     return cand, tgt, win, total, overflow
 
 
@@ -252,7 +254,7 @@ def unpack_summary_word(v: np.ndarray):
                      "max_candidates", "highest_rank", "window_stride",
                      "insert_size_max", "target_window_k", "search_steps",
                      "use_pallas_sketch", "win_bits", "qlen", "direct_mb",
-                     "wire", "sfmt", "len_bytes", "ci_shift"))
+                     "wire", "sfmt", "len_bytes", "ci_shift", "tax_onehot"))
 def _query_batch_device(fused,
                         keys, offsets, loc_tgt, loc_win, target_cand_tax,
                         ranked_lineage, hits_min, hits_diff,
@@ -268,7 +270,8 @@ def _query_batch_device(fused,
                         use_pallas_sketch: bool = False,
                         win_bits: int = 0, direct_mb: int = 0,
                         wire: str = "legacy", sfmt: str = "s4",
-                        len_bytes: int = 1, ci_shift: int = 0):
+                        len_bytes: int = 1, ci_shift: int = 0,
+                        tax_onehot: bool = False):
     """One fused device program: 2-bit-packed reads -> classification.
 
     When ci_shift > 0 the location words are seg-encoded (compact
@@ -291,7 +294,8 @@ def _query_batch_device(fused,
         window_stride=window_stride, starts=starts, lmax=lmax,
         max_candidates=max_candidates, insert_size_max=insert_size_max,
         search_steps=search_steps, use_pallas_sketch=use_pallas_sketch,
-        win_bits=win_bits, direct_mb=direct_mb, ci_shift=ci_shift)
+        win_bits=win_bits, direct_mb=direct_mb, ci_shift=ci_shift,
+        tax_onehot=tax_onehot)
     best, best_rank = classify_op.classify_lca(
         cand["tax"], cand["hits"], ranked_lineage, hits_min, hits_diff,
         highest_rank)
@@ -1002,7 +1006,8 @@ class QueryEngine(EngineBase):
             use_pallas_sketch=self._use_pallas,
             win_bits=self._win_bits, direct_mb=direct_mb,
             wire=wire, sfmt=sfmt, len_bytes=self._len_bytes,
-            ci_shift=self._seg_shift)
+            ci_shift=self._seg_shift,
+            tax_onehot=self._seg_shift == 0 and self._pack_ok)
         out["_sfmt"] = sfmt
         if self._seg_shift:
             out["_seg_decode"] = (self._seg_shift, self._uniq_tct)

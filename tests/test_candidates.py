@@ -28,10 +28,17 @@ def run_device(match_lists, num_windows, tgt_to_tax, num_targets, max_cand):
     out_pk = cand_ops.generate_candidates(
         tgt, win, np.asarray(num_windows, np.int32), tmap, max_cand,
         win_bits=16)
+    # ... and the one-hot-matmul taxon-map path
+    out_oh = cand_ops.generate_candidates(
+        tgt, win, np.asarray(num_windows, np.int32), tmap, max_cand,
+        win_bits=16, tax_onehot=True)
     for kk in out:
         np.testing.assert_array_equal(np.asarray(out[kk]),
                                       np.asarray(out_pk[kk]),
                                       err_msg=f"packed path differs: {kk}")
+        np.testing.assert_array_equal(np.asarray(out[kk]),
+                                      np.asarray(out_oh[kk]),
+                                      err_msg=f"onehot path differs: {kk}")
     return {k: np.asarray(v) for k, v in out.items()}
 
 
