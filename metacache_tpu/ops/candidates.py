@@ -138,10 +138,15 @@ def _onehot_map(values, idx):
         jnp.int32, (1, 1, T), 2)).astype(jnp.float32)
     lo = (values & 0x1FFF).astype(jnp.float32)
     hi = (values >> 13).astype(jnp.float32)
+    # Precision.HIGHEST: the 13-bit chunks must accumulate exactly; the TPU
+    # default lowers f32 dots to single-pass bf16 (exact only to 256), which
+    # would silently round values > 2^8 (ADVICE r4). f32 is exact to 2^24.
     mlo = jax.lax.dot_general(oh, lo, (((2,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
     mhi = jax.lax.dot_general(oh, hi, (((2,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
     return mlo.astype(jnp.int32) + (mhi.astype(jnp.int32) << 13)
 
 
@@ -253,6 +258,10 @@ def generate_candidates(tgt, win, num_windows, target_cand_tax,
     LP = 1 << int(L).bit_length()
     pk_ok = win_bits > 0 and (
         ci_shift > 0 or ((T1 - 1) << win_bits) <= 2**30 - 1)
+    # the rank-by-sort back-route key (s_item*P2 + s_pos)*RP + rank in
+    # _rank_lower_bound_packed must also fit int32 (RP == LP there);
+    # overflows at L >= ~32768 (ADVICE r4)
+    pk_ok = pk_ok and (P2 + L - 1) * LP + L < 2**31
     hpl_ok = (L * P2 + P2 - 1) * LP + L < 2**31
     if ci_shift > 0:
         assert win_bits > 0, "seg encoding requires the packed-key path"
@@ -294,7 +303,10 @@ def generate_candidates(tgt, win, num_windows, target_cand_tax,
         key = jnp.where(rep, (tgt >> ci_shift) + 1, _BIG)
     else:
         safe_tgt = jnp.where(valid, tgt, T1 - 1)
-        if tax_onehot and T1 <= 2048:
+        # gate the [B, L, T1] f32 one-hot operand on BYTES, not target
+        # count: at B=8192, L=256, T1=2048 it would be ~17 GB (ADVICE r4);
+        # cap at 2 GiB (covers the realistic world's ~0.8 GB operand)
+        if tax_onehot and T1 <= 2048 and B * L * T1 * 4 <= (2 << 30):
             # configurations whose seg keys don't fit 30 bits (config-3's
             # ci+tgt+win = 32) still avoid the per-element map gather:
             # the caller asserts node indices < 2^26 (same bound as the

@@ -37,8 +37,14 @@ def _lineage_rows(ranked_lineage, tax):
           ).astype(jnp.float32)
     lo = (ranked_lineage & 0x1FFF).astype(jnp.float32)
     hi = (ranked_lineage >> 13).astype(jnp.float32)
-    lor = jnp.dot(oh, lo, preferred_element_type=jnp.float32)
-    hir = jnp.dot(oh, hi, preferred_element_type=jnp.float32)
+    # Precision.HIGHEST: the 13-bit chunks (0..8191) must multiply-accumulate
+    # exactly; the TPU default lowers f32 dots to single-pass bf16 (exact
+    # only to 256), which would silently round node indices on taxonomies
+    # with >2^8 nodes (ADVICE r4). Full f32 is exact to 2^24 > 2^13.
+    lor = jnp.dot(oh, lo, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    hir = jnp.dot(oh, hi, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     return lor.astype(jnp.int32) + (hir.astype(jnp.int32) << 13)
 
 

@@ -228,25 +228,13 @@ class ShardedQueryEngine(EngineBase):
         # same static seg parameters without another allgather.
         tct_np = np.asarray(self.db.target_cand_tax(self.lowest_rank))
         n_nodes = int(self.db.taxonomy.ranked_lineage.shape[0])
-        self._seg_shift = 0
-        self._uniq_tct = None
-        lineage_np = self.db.taxonomy.ranked_lineage.astype(np.int32)
-        if packed is not None and self.db.target_count > 0 \
-                and n_nodes < (1 << 26):
-            T = self.db.target_count
-            uniq = np.unique(tct_np[:T])
-            nci = len(uniq)
-            tb = max(1, int(max(T - 1, 1)).bit_length())
-            seg_max = ((nci - 1) << tb) | (T - 1)
-            if nci + 1 <= 2048 and \
-                    (int(seg_max) << win_bits) * 2 + 1 < 2**31:
-                ci_of_t = np.searchsorted(uniq, tct_np[:T]).astype(np.int64)
-                t_of_loc = packed.astype(np.int64) >> win_bits
-                packed = (packed.astype(np.int64) | (
-                    ci_of_t[t_of_loc] << (tb + win_bits))).astype(np.int32)
-                self._seg_shift = tb
-                self._uniq_tct = uniq.astype(np.int32)
-                lineage_np = lineage_np[np.concatenate([[0], uniq])]
+        from ..query.engine import derive_seg_encoding
+        packed, self._seg_shift, self._uniq_tct, lin_small = \
+            derive_seg_encoding(tct_np, self.db.target_count, n_nodes,
+                                win_bits, packed,
+                                self.db.taxonomy.ranked_lineage)
+        lineage_np = (lin_small if lin_small is not None
+                      else self.db.taxonomy.ranked_lineage.astype(np.int32))
         buckets = []
         radix_steps = 1
         for i in range(keys.shape[0]):

@@ -554,6 +554,44 @@ def count_heavy_windows(sizes, loc_tgt, loc_win, cap: int) -> int:
 OVERFLOW_DISABLE_THRESHOLD = 0.10
 
 
+def derive_seg_encoding(tct, target_count: int, n_nodes: int, win_bits: int,
+                        packed, ranked_lineage):
+    """Shared seg-encoding derivation (QueryEngine + ShardedQueryEngine).
+
+    Bakes a compact candidate-taxon index (ci) into the high bits of every
+    packed location word so the candidate stage's dedup taxon comes from
+    bits instead of a per-element map gather, and classification runs
+    against a small [nci+1, R] lineage table (one-hot matmul). The gate,
+    bit layout, and small-lineage construction live HERE so the fused and
+    sharded engines can never drift apart on the wire encoding (ADVICE r4).
+
+    Args:
+      tct: [T+1] int32 target -> candidate-taxon node map.
+      packed: int32 packed (tgt << win_bits | win) location words (any
+              shape; None disables).
+      ranked_lineage: [n_nodes, R] np array.
+
+    Returns (packed, seg_shift, uniq_tct, lineage_small) — seg_shift == 0
+    means the encoding does not apply (packed returned unchanged).
+    """
+    if packed is None or target_count <= 0 or n_nodes >= (1 << 26):
+        return packed, 0, None, None
+    T = target_count
+    uniq = np.unique(tct[:T])
+    nci = len(uniq)
+    tb = max(1, int(max(T - 1, 1)).bit_length())
+    seg_max = ((nci - 1) << tb) | (T - 1)
+    if nci + 1 > 2048 or (int(seg_max) << win_bits) * 2 + 1 >= 2**31:
+        return packed, 0, None, None
+    ci_of_t = np.searchsorted(uniq, tct[:T]).astype(np.int64)
+    t_of_loc = packed.astype(np.int64) >> win_bits
+    packed = (packed.astype(np.int64)
+              | (ci_of_t[t_of_loc] << (tb + win_bits))).astype(np.int32)
+    lineage_small = np.asarray(ranked_lineage)[
+        np.concatenate([[0], uniq])].astype(np.int32)
+    return packed, tb, uniq.astype(np.int32), lineage_small
+
+
 class EngineBase:
     """Host-side engine machinery shared by the single-chip QueryEngine and
     the multi-chip ShardedQueryEngine: wire formats (slim/legacy fused input
@@ -857,28 +895,12 @@ class QueryEngine(EngineBase):
         # gathers. Result-identical: ci <-> candidate taxon is a bijection.
         tct_np = np.asarray(db.target_cand_tax(self.lowest_rank))
         n_nodes = int(db.taxonomy.ranked_lineage.shape[0])
-        self._seg_shift = 0
-        self._uniq_tct = None
-        self._lineage_small = None
-        if packed is not None and db.target_count > 0 \
-                and n_nodes < (1 << 26):
-            T = db.target_count
-            uniq = np.unique(tct_np[:T])
-            nci = len(uniq)
-            tb = max(1, int(max(T - 1, 1)).bit_length())
-            seg_max = ((nci - 1) << tb) | (T - 1)
-            if nci + 1 <= 2048 and \
-                    (int(seg_max) << self._win_bits) * 2 + 1 < 2**31:
-                ci_of_t = np.searchsorted(uniq, tct_np[:T]).astype(np.int64)
-                t_of_loc = packed.astype(np.int64) >> self._win_bits
-                packed = (packed.astype(np.int64) | (
-                    ci_of_t[t_of_loc] << (tb + self._win_bits))
-                ).astype(np.int32)
-                self._seg_shift = tb
-                self._uniq_tct = uniq.astype(np.int32)
-                self._lineage_small = jnp.asarray(
-                    db.taxonomy.ranked_lineage[
-                        np.concatenate([[0], uniq])].astype(np.int32))
+        packed, self._seg_shift, self._uniq_tct, lin_small = \
+            derive_seg_encoding(tct_np, db.target_count, n_nodes,
+                                self._win_bits, packed,
+                                db.taxonomy.ranked_lineage)
+        self._lineage_small = (jnp.asarray(lin_small)
+                               if lin_small is not None else None)
         if packed is None:
             self._loc_tgt = jnp.asarray(loc_tgt)
             self._loc_win = jnp.asarray(loc_win)

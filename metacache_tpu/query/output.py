@@ -21,13 +21,10 @@ def _rankcode(r) -> int:
 
 
 def fmt_g(x: float) -> str:
-    """C++ `os << double` default formatting (6 significant digits)."""
-    s = f"{x:.6g}"
-    if "e" in s:
-        # C++ prints exponents with at least 2 digits: 1e-05 etc. Python
-        # produces the same form, keep as is.
-        return s
-    return s
+    """C++ `os << double` default formatting (6 significant digits).
+    Python's %g matches C++'s form exactly, including >=2-digit
+    exponents (1e-05)."""
+    return f"{x:.6g}"
 
 
 class MapViewMode:

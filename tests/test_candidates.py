@@ -39,6 +39,55 @@ def run_device(match_lists, num_windows, tgt_to_tax, num_targets, max_cand):
         np.testing.assert_array_equal(np.asarray(out[kk]),
                                       np.asarray(out_oh[kk]),
                                       err_msg=f"onehot path differs: {kk}")
+    # ... and the seg-encoded path (ci_shift > 0): pre-encode tgt as
+    # (ci << tb) | raw the way the engine's seg encoding does
+    # (query/engine.derive_seg_encoding), re-sort the match rows by encoded
+    # key (the engine's per-read sort orders seg-encoded words), then
+    # decode tax (= ci + 1 -> uniq[ci]) / tgt (low tb bits) and compare.
+    # When ci is monotone in t the consume order is unchanged and the
+    # comparison is STRICT on all fields; a non-monotone map legitimately
+    # reorders equal-hits ties (consume order becomes (ci, tgt)), so there
+    # the check widens max_cand past truncation and compares (tax, hits)
+    # multisets per read.
+    uniq = np.unique(tmap[:num_targets])
+    tb = max(1, int(max(num_targets - 1, 1)).bit_length())
+    ci_of_t = np.searchsorted(uniq, tmap[:num_targets]).astype(np.int32)
+    monotone = bool(np.all(np.diff(ci_of_t) >= 0))
+    vmask = tgt != TARGET_SENTINEL
+    tgt_seg = tgt.copy()
+    tgt_seg[vmask] = (ci_of_t[tgt[vmask]] << tb) | tgt[vmask]
+    key64 = (tgt_seg.astype(np.int64) << 32) | win.astype(np.int64)
+    order = np.argsort(key64, axis=1, kind="stable")
+    tgt_seg = np.take_along_axis(tgt_seg, order, axis=1)
+    win_seg = np.take_along_axis(win, order, axis=1)
+    mc_seg = max_cand if monotone else len(uniq) + 1
+    out_seg = cand_ops.generate_candidates(
+        tgt_seg, win_seg, np.asarray(num_windows, np.int32), tmap, mc_seg,
+        win_bits=16, ci_shift=tb)
+    stax = np.asarray(out_seg["tax"])
+    stgt = np.asarray(out_seg["tgt"])
+    dec_tax = np.where(stax > 0, uniq[np.maximum(stax - 1, 0)], 0)
+    dec_tgt = np.where(stgt != TARGET_SENTINEL,
+                       stgt & ((1 << tb) - 1), TARGET_SENTINEL)
+    if monotone:
+        np.testing.assert_array_equal(dec_tax, np.asarray(out["tax"]),
+                                      err_msg="seg path differs: tax")
+        np.testing.assert_array_equal(dec_tgt, np.asarray(out["tgt"]),
+                                      err_msg="seg path differs: tgt")
+        for kk in ("hits", "beg", "end"):
+            np.testing.assert_array_equal(np.asarray(out_seg[kk]),
+                                          np.asarray(out[kk]),
+                                          err_msg=f"seg path differs: {kk}")
+    else:
+        ref_full = cand_ops.generate_candidates(
+            tgt, win, np.asarray(num_windows, np.int32), tmap, mc_seg)
+        for b in range(tgt.shape[0]):
+            got = sorted((int(dec_tax[b, i]), int(out_seg["hits"][b, i]))
+                         for i in range(mc_seg) if stax[b, i] != 0)
+            want = sorted((int(ref_full["tax"][b, i]),
+                           int(ref_full["hits"][b, i]))
+                          for i in range(mc_seg) if ref_full["tax"][b, i] != 0)
+            assert got == want, (b, got, want)
     return {k: np.asarray(v) for k, v in out.items()}
 
 
