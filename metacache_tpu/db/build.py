@@ -221,6 +221,77 @@ def _native_sketch_path(path, p: SketchParams, sorters: Dict, taxonomy,
     return True
 
 
+#: input files at or above this size stream through the native SPILL path
+#: (parse + sketch + per-shard sorted chunk files with bounded memory)
+#: instead of materializing the whole file's triples in host RAM — a 5 Gbp
+#: file holds ~700M triples = 8.4 GB, and round-4 builds peaked at 33 GB
+#: RSS for a 10 GB table. Files below it keep the in-RAM fast path (no
+#: disk round-trip for small builds).
+SPILL_MIN_BYTES = int(os.environ.get("METACACHE_SPILL_MIN_BYTES",
+                                     256 << 20))
+
+
+def _native_spill_path(path, p: SketchParams, sorters: Dict, taxonomy,
+                       target_nodes: List[int], seen_names, seq2taxid,
+                       num_shards: int, shard_ids: List[int],
+                       progress, spill_dir: str, chunk_triples: int) -> bool:
+    """Bounded-memory variant of _native_sketch_path for LARGE files:
+    the native pass (mcio_sketch_file_spill) parses, sketches, and spills
+    feature-sorted per-shard triple chunk files directly — triples never
+    enter Python, and peak memory is the parse queue + one chunk buffer
+    per shard regardless of file size. The chunk files are adopted by each
+    shard's external sorter (insertion order preserved; finalize K-way
+    merges them straight into CSR table files).
+
+    Returns False to fall back (native unavailable / params out of range /
+    records the python loop would renumber) — any chunks already written
+    are deleted first."""
+    if os.environ.get("METACACHE_NO_NATIVE_BUILD"):
+        return False
+    from .. import native
+    prefix = os.path.join(spill_dir, f"t{len(target_nodes)}")
+    res = native.sketch_file_spill(
+        path, p.kmer_size, p.sketch_size, p.window_size, p.window_stride,
+        t0=len(target_nodes), num_shards=num_shards, shard_ids=shard_ids,
+        chunk_triples=chunk_triples, prefix=prefix)
+    if res is None:
+        return False
+
+    def _drop_chunks():
+        for _, cpath, _ in res.chunks:
+            if os.path.exists(cpath):
+                os.unlink(cpath)
+
+    sids = []
+    batch_seen = set()
+    for i, header in enumerate(res.headers):
+        sid = sequence_io.extract_accession_string(header) \
+            or header.split(" ")[0] or header
+        if res.seq_lens[i] == 0 or sid in seen_names or sid in batch_seen:
+            _drop_chunks()
+            return False  # rare: python loop handles renumbering
+        batch_seen.add(sid)
+        sids.append(sid)
+    owned_set = set(shard_ids)
+    for i, (header, sid) in enumerate(zip(res.headers, sids)):
+        seen_names.add(sid)
+        tgt = len(target_nodes)
+        parent = resolve_parent_taxid(header, seq2taxid, taxonomy)
+        owned = (tgt % num_shards) in owned_set
+        node = taxonomy.add_node(
+            -(tgt + 1), parent if parent else NONE_TAXID, sid,
+            Rank.SEQUENCE, source_filename=path, source_index=i + 1,
+            source_windows=int(res.seq_windows[i]) if owned else 0)
+        target_nodes.append(node)
+        if progress:
+            progress(path, tgt)
+    for s in shard_ids:
+        mine = [(cpath, cnt) for sh, cpath, cnt in res.chunks if sh == s]
+        if mine:
+            sorters[s].adopt_chunks(mine)
+    return True
+
+
 @dataclasses.dataclass
 class BuildOptions:
     """mode_build options (src/mode_build.cpp:63-138)."""
@@ -311,13 +382,27 @@ def build_database_shards(infiles: Sequence[str], opt: BuildOptions,
     batchers = {s: WindowBatcher(p, sorters[s]) for s in shard_ids}
     owned_set = set(shard_ids)
 
+    import tempfile
     import time as _time
     _timing = bool(os.environ.get("METACACHE_BUILD_TIMING"))
     _t0 = _time.time()
     target_nodes: List[int] = []
     seen_names = set()
+    spill_dir: Optional[str] = None
     for path in files:
         try:
+            try:
+                big = os.path.getsize(path) >= SPILL_MIN_BYTES
+            except OSError:
+                big = False
+            if big:
+                if spill_dir is None:
+                    spill_dir = tempfile.mkdtemp(prefix="mc_spill_")
+                if _native_spill_path(path, p, sorters, taxonomy,
+                                      target_nodes, seen_names, seq2taxid,
+                                      num_shards, shard_ids, progress,
+                                      spill_dir, opt.chunk_triples):
+                    continue
             if _native_sketch_path(path, p, sorters, taxonomy, target_nodes,
                                    seen_names, seq2taxid, num_shards,
                                    shard_ids, progress):
@@ -379,6 +464,9 @@ def build_database_shards(infiles: Sequence[str], opt: BuildOptions,
     else:
         fts = {s: sorters[s].finalize(opt.params.max_locations_per_feature)
                for s in shard_ids}
+    if spill_dir is not None:
+        import shutil
+        shutil.rmtree(spill_dir, ignore_errors=True)
     if _timing:
         import sys as _sys
         print(f"[build-timing] finalize ({len(shard_ids)} shards): "

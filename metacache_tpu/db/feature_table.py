@@ -320,13 +320,16 @@ class ChunkedTripleSorter:
     sort-merge at RefSeq scale).
 
     Protocol: `add()` triples in ascending (target, window) order (the
-    natural sketching order). Full chunks are feature-sorted (stable, so
-    insertion order survives) and spilled to disk. `finalize()` merges by
-    KEY-RANGE passes: the u32 feature space is partitioned so each range's
-    triples fit in RAM; per range, the matching slice of every chunk (one
-    searchsorted per chunk) is concatenated in chunk order and stable-sorted
-    by feature — yielding exactly the insertion order the per-feature cap
-    semantics require. Peak memory = one range + one chunk buffer.
+    natural sketching order), or `adopt_chunks()` pre-sorted chunk files
+    written by the native streaming spill pass (native.sketch_file_spill).
+    Full buffers are feature-sorted (stable, so insertion order survives)
+    and spilled to disk as raw chunk files (int64 n, f u32[n], t i32[n],
+    w i32[n] — the same format the native pass writes). `finalize()` runs
+    a native K-way streaming merge of all chunks straight into CSR table
+    FILES, returned as (unlinked) memmap-backed arrays — the table is
+    never materialized in host RAM; peak memory = one chunk buffer. The
+    numpy fallback merges by KEY-RANGE passes (one range of the u32
+    feature space in RAM at a time).
     """
 
     def __init__(self, chunk_triples: int = 32 << 20, tmpdir: str = None):
@@ -337,7 +340,7 @@ class ChunkedTripleSorter:
         self._buf_t: List[np.ndarray] = []
         self._buf_w: List[np.ndarray] = []
         self._buf_n = 0
-        self._chunks: List[Tuple[str, int]] = []  # (path prefix, count)
+        self._chunks: List[Tuple[str, int]] = []  # (path, count)
         self.total = 0
 
     def add(self, f: np.ndarray, t: np.ndarray, w: np.ndarray):
@@ -348,6 +351,24 @@ class ChunkedTripleSorter:
         self.total += len(f)
         if self._buf_n >= self.chunk_triples:
             self._spill()
+
+    def adopt_chunks(self, chunks: List[Tuple[str, int]]):
+        """Append pre-sorted raw chunk files (native spill pass output).
+        Any buffered triples are spilled first — the chunk list must stay
+        in insertion order for the per-feature cap semantics."""
+        self._spill()
+        for path, count in chunks:
+            self._chunks.append((path, int(count)))
+            self.total += int(count)
+
+    def spill_dir(self) -> str:
+        """Directory for spill files (created on demand) — the native
+        spill pass writes its chunks here so finalize owns their cleanup."""
+        import tempfile
+        if self._tmp is None:
+            self._tmp = tempfile.mkdtemp(prefix="mc_triples_",
+                                         dir=self._tmpdir_given)
+        return self._tmp
 
     def _concat_buf(self):
         f = np.concatenate(self._buf_f) if self._buf_f else \
@@ -361,23 +382,22 @@ class ChunkedTripleSorter:
 
     def _spill(self):
         import os
-        import tempfile
         f, t, w = self._concat_buf()
         if len(f) == 0:
             return
-        if self._tmp is None:
-            self._tmp = tempfile.mkdtemp(prefix="mc_triples_",
-                                         dir=self._tmpdir_given)
         from .. import native
         if not native.radix_sort_triples(f, t, w):
             # native LSD radix unavailable: numpy stable argsort costs
             # seconds per 32M-triple chunk (x dozens of chunks at Gbp scale)
             order = np.argsort(f, kind="stable")
             f, t, w = f[order], t[order], w[order]
-        path = os.path.join(self._tmp, f"chunk{len(self._chunks)}")
-        np.save(path + ".f.npy", f)
-        np.save(path + ".t.npy", t)
-        np.save(path + ".w.npy", w)
+        path = os.path.join(self.spill_dir(),
+                            f"chunk{len(self._chunks)}.bin")
+        with open(path, "wb") as fh:
+            fh.write(np.int64(len(f)).tobytes())
+            f.tofile(fh)
+            t.tofile(fh)
+            w.tofile(fh)
         self._chunks.append((path, len(f)))
 
     def finalize(self, max_locs_per_feature: int,
@@ -390,9 +410,39 @@ class ChunkedTripleSorter:
             return FeatureTable.from_triples(f, t, w, max_locs_per_feature,
                                              sort_in_place=True)
         self._spill()
-        mm = [(np.load(p + ".f.npy", mmap_mode="r"),
-               np.load(p + ".t.npy", mmap_mode="r"),
-               np.load(p + ".w.npy", mmap_mode="r")) for p, _ in self._chunks]
+        from .. import native
+        paths = [p for p, _ in self._chunks]
+        out_prefix = os.path.join(self.spill_dir(), "csr")
+        res = None
+        if paths:
+            try:
+                res = native.merge_chunks_csr(paths, max_locs_per_feature,
+                                              out_prefix)
+            except RuntimeError:
+                res = None
+        if res is not None:
+            nk, nl = res
+            ft = FeatureTable(
+                keys=np.memmap(out_prefix + ".keys.bin", np.uint32,
+                               mode="r", shape=(nk,)),
+                offsets=np.memmap(out_prefix + ".offs.bin", np.int64,
+                                  mode="r", shape=(nk + 1,)),
+                loc_tgt=np.memmap(out_prefix + ".lt.bin", np.int32,
+                                  mode="r", shape=(nl,)),
+                loc_win=np.memmap(out_prefix + ".lw.bin", np.int32,
+                                  mode="r", shape=(nl,)))
+            # unlink everything: the memmaps keep their pages alive
+            # (POSIX), so no disk space leaks even on a crash, and the
+            # chunk files are no longer needed
+            shutil.rmtree(self._tmp, ignore_errors=True)
+            for p in paths:
+                if os.path.exists(p):
+                    os.unlink(p)
+            return ft
+        # numpy fallback: key-range passes (one range of the u32 feature
+        # space in RAM at a time; each chunk is sorted, so one searchsorted
+        # per chunk slices its range)
+        mm = [native.open_chunk_arrays(p, c) for p, c in self._chunks]
         n_ranges = max(1, -(-self.total // int(range_budget)))
         bounds = np.linspace(0, 2**32, n_ranges + 1).astype(np.uint64)
         parts: List[FeatureTable] = []
@@ -412,7 +462,11 @@ class ChunkedTripleSorter:
             parts.append(FeatureTable.from_triples(
                 np.concatenate(fs), np.concatenate(ts), np.concatenate(ws),
                 max_locs_per_feature, sort_in_place=True))
+        del mm
         shutil.rmtree(self._tmp, ignore_errors=True)
+        for p in paths:
+            if os.path.exists(p):
+                os.unlink(p)
         if not parts:
             return FeatureTable.empty()
         # ranges partition the key space: plain concatenation is the merge

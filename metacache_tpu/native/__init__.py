@@ -122,6 +122,25 @@ def load_mcio():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.mcio_sketch_file_spill.restype = ctypes.c_void_p
+        lib.mcio_sketch_file_spill.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int64, ctypes.c_char_p]
+        lib.mcio_sp_counts.restype = None
+        lib.mcio_sp_counts.argtypes = [ctypes.c_void_p] + \
+            [ctypes.c_void_p] * 3
+        lib.mcio_sp_fetch.restype = None
+        lib.mcio_sp_fetch.argtypes = [ctypes.c_void_p] + \
+            [ctypes.c_void_p] * 7
+        lib.mcio_sp_error.restype = ctypes.c_char_p
+        lib.mcio_sp_error.argtypes = [ctypes.c_void_p]
+        lib.mcio_sp_free.restype = None
+        lib.mcio_sp_free.argtypes = [ctypes.c_void_p]
+        lib.mcio_merge_chunks_csr.restype = ctypes.c_int64
+        lib.mcio_merge_chunks_csr.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -304,6 +323,99 @@ def sketch_sequences(seqs: List[bytes], k: int, s: int, window: int,
     if not h:
         return None
     return _fetch_sketch_result(lib, h, t0, want_headers=False)
+
+
+class SpilledFile:
+    """Result of a native parse+sketch+SPILL pass over one input file
+    (bounded-memory build): metadata for ALL records, plus the sorted
+    triple chunk files written per owned shard. chunks: [(shard, path,
+    count), ...] in spill order (= insertion order within each shard)."""
+
+    __slots__ = ("headers", "seq_lens", "seq_windows", "chunks")
+
+    def __init__(self, headers, seq_lens, seq_windows, chunks):
+        self.headers: List[str] = headers
+        self.seq_lens = seq_lens
+        self.seq_windows = seq_windows
+        self.chunks: List[Tuple[int, str, int]] = chunks
+
+
+def sketch_file_spill(path: str, k: int, s: int, window: int, stride: int,
+                      t0: int, num_shards: int, shard_ids,
+                      chunk_triples: int, prefix: str,
+                      threads: int = 0) -> Optional[SpilledFile]:
+    """Parse + sketch one file natively, spilling feature-sorted triple
+    chunks to '<prefix>.s<shard>.c<idx>.bin' instead of returning triples
+    (peak memory = parse queue + one chunk buffer per shard, independent
+    of file size — the at-scale build path). Returns None when the native
+    library is unavailable / params out of range; raises RuntimeError on
+    malformed content or spill IO failure."""
+    import ctypes as ct
+    lib = load_mcio()
+    if lib is None or s > 64 or not (1 <= k <= 16):
+        return None
+    sids = np.asarray(sorted(set(int(x) for x in shard_ids)), np.int64)
+    h = lib.mcio_sketch_file_spill(
+        path.encode(), k, s, window, stride, t0, num_shards,
+        sids.ctypes.data, len(sids), threads, int(chunk_triples),
+        prefix.encode())
+    if not h:
+        return None
+    err = lib.mcio_sp_error(h)
+    if err:
+        lib.mcio_sp_free(h)
+        raise RuntimeError(err.decode())
+    n_rec, n_ch, hdr_b = ct.c_int64(), ct.c_int64(), ct.c_int64()
+    lib.mcio_sp_counts(h, ct.byref(n_rec), ct.byref(n_ch), ct.byref(hdr_b))
+    n, nc = n_rec.value, n_ch.value
+    hdr = np.zeros(hdr_b.value, np.uint8)
+    off = np.zeros(n + 1, np.int64)
+    lens = np.zeros(n, np.int64)
+    wins = np.zeros(n, np.int32)
+    csh = np.zeros(nc, np.int64)
+    cix = np.zeros(nc, np.int64)
+    cct = np.zeros(nc, np.int64)
+    lib.mcio_sp_fetch(h, hdr.ctypes.data, off.ctypes.data,
+                      lens.ctypes.data, wins.ctypes.data,
+                      csh.ctypes.data, cix.ctypes.data, cct.ctypes.data)
+    lib.mcio_sp_free(h)
+    hb = hdr.tobytes()
+    headers = [hb[off[i]:off[i + 1]].decode("utf-8", "replace")
+               for i in range(n)]
+    chunks = [(int(csh[c]), f"{prefix}.s{int(csh[c])}.c{int(cix[c])}.bin",
+               int(cct[c])) for c in range(nc)]
+    return SpilledFile(headers, lens, wins, chunks)
+
+
+def merge_chunks_csr(paths: List[str], cap: int, out_prefix: str):
+    """K-way merge of feature-sorted spill chunk files into CSR table
+    files '<out_prefix>.{keys,offs,lt,lw}.bin' (streamed — the table is
+    never materialized in RAM). paths must be in insertion order (chunk
+    j's triples precede chunk j+1's for equal features). Returns
+    (n_keys, n_locs) or None when the native library is unavailable;
+    raises RuntimeError on IO failure."""
+    import ctypes as ct
+    lib = load_mcio()
+    if lib is None:
+        return None
+    enc = [p.encode() for p in paths]
+    arr = (ctypes.c_char_p * len(enc))(*enc)
+    nk = ct.c_int64()
+    nl = lib.mcio_merge_chunks_csr(arr, len(enc), int(cap),
+                                   out_prefix.encode(), ct.byref(nk))
+    if nl < 0:
+        raise RuntimeError(f"chunk merge failed for {out_prefix}")
+    return int(nk.value), int(nl)
+
+
+def open_chunk_arrays(path: str, count: int):
+    """Memmap views (f u32, t i32, w i32) over one spill chunk file."""
+    f = np.memmap(path, np.uint32, mode="r", offset=8, shape=(count,))
+    t = np.memmap(path, np.int32, mode="r", offset=8 + 4 * count,
+                  shape=(count,))
+    w = np.memmap(path, np.int32, mode="r", offset=8 + 8 * count,
+                  shape=(count,))
+    return f, t, w
 
 
 def radix_sort_triples(f: np.ndarray, t: np.ndarray, w: np.ndarray) -> bool:

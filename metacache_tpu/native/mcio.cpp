@@ -582,6 +582,505 @@ void* mcio_sketch_file(const char* path, int k, int s, int win, int stride,
     return res;
 }
 
+}  // extern "C"  (reopened below)
+
+extern "C" void mcio_radix_sort_triples(uint32_t* f, int32_t* t, int32_t* w,
+                                        int64_t n);
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Streaming spill build: parse + sketch + per-shard sorted chunk files, with
+// BOUNDED memory — triples never accumulate for the whole file. The
+// replacement for holding a 5 Gbp file's ~700M triples (8.4 GB) in RAM
+// before routing them to the external sorter (round-4 build peaked at 33 GB
+// host RSS for a 10 GB table; reference scale is FULL RefSeq,
+// script/ft/BuildGeneric_FT.sh). Matches the reference's streaming
+// hash-map insertion (src/sketch_database.h:1079-1097) in spirit: bounded
+// working set per input pass.
+
+struct SpillChunkInfo {
+    int64_t shard;
+    int64_t index;   // per-shard chunk index
+    int64_t count;
+};
+
+struct SpillResult {
+    std::vector<std::string> headers;
+    std::vector<int64_t> seq_lens;
+    std::vector<int32_t> seq_windows;
+    std::vector<SpillChunkInfo> chunks;
+    std::string error;
+};
+
+// one shard's in-RAM chunk buffer
+struct ShardBuf {
+    std::vector<uint32_t> f;
+    std::vector<int32_t> t, w;
+    int64_t next_index = 0;
+};
+
+bool write_chunk(const std::string& prefix, int64_t shard, ShardBuf& b,
+                 std::vector<SpillChunkInfo>& chunks, std::string& error) {
+    int64_t n = (int64_t)b.f.size();
+    if (n == 0) return true;
+    // stable feature sort: buffer is filled in record order (= ascending
+    // target, ascending window within), so the radix sort preserves the
+    // reference's per-bucket insertion order (src/hash_multimap.h:653)
+    mcio_radix_sort_triples(b.f.data(), b.t.data(), b.w.data(), n);
+    char name[4096];
+    snprintf(name, sizeof(name), "%s.s%lld.c%lld.bin", prefix.c_str(),
+             (long long)shard, (long long)b.next_index);
+    FILE* fp = fopen(name, "wb");
+    if (!fp) {
+        error = std::string("can't create spill chunk ") + name;
+        return false;
+    }
+    bool ok = fwrite(&n, sizeof(int64_t), 1, fp) == 1 &&
+              fwrite(b.f.data(), sizeof(uint32_t), (size_t)n, fp) ==
+                  (size_t)n &&
+              fwrite(b.t.data(), sizeof(int32_t), (size_t)n, fp) ==
+                  (size_t)n &&
+              fwrite(b.w.data(), sizeof(int32_t), (size_t)n, fp) ==
+                  (size_t)n;
+    ok = fclose(fp) == 0 && ok;
+    if (!ok) {
+        error = std::string("spill chunk write failed: ") + name;
+        return false;
+    }
+    chunks.push_back({shard, b.next_index, n});
+    ++b.next_index;
+    b.f.clear();
+    b.t.clear();
+    b.w.clear();
+    return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse + sketch one file, spilling feature-sorted per-shard chunk files
+// ("<prefix>.s<shard>.c<idx>.bin": int64 n, u32 f[n], i32 t[n], i32 w[n])
+// instead of accumulating triples in RAM. Record i (target t0+i) is
+// sketched iff owned by a requested shard ((t0+i) % num_shards in
+// shard_ids). Peak memory = the parse queue (256 MB of sequence bytes) +
+// a bounded reorder window of sketched-but-unspilled records + one chunk
+// buffer per requested shard. Query with mcio_sp_*; free with
+// mcio_sp_free.
+void* mcio_sketch_file_spill(const char* path, int k, int s, int win,
+                             int stride, int64_t t0, int64_t num_shards,
+                             const int64_t* shard_ids, int64_t n_shard_ids,
+                             int nthreads, int64_t chunk_triples,
+                             const char* prefix) {
+    if (s > 64 || k < 1 || k > 16 || chunk_triples < 1) return nullptr;
+    SeqReader rd;
+    if (!rd.open(path)) return nullptr;
+    SpillResult* res = new SpillResult();
+    std::vector<char> owned((size_t)num_shards, 0);
+    for (int64_t i = 0; i < n_shard_ids; ++i) {
+        if (shard_ids[i] >= 0 && shard_ids[i] < num_shards)
+            owned[(size_t)shard_ids[i]] = 1;
+    }
+    std::vector<ShardBuf> bufs((size_t)num_shards);
+    for (int64_t sh = 0; sh < num_shards; ++sh) {
+        if (owned[(size_t)sh]) {
+            bufs[(size_t)sh].f.reserve((size_t)chunk_triples);
+            bufs[(size_t)sh].t.reserve((size_t)chunk_triples);
+            bufs[(size_t)sh].w.reserve((size_t)chunk_triples);
+        }
+    }
+
+    // pipeline state: parser (this thread) -> bounded queue -> sketch
+    // workers -> per-record triple vectors -> spiller (in record order)
+    std::mutex mu;
+    std::condition_variable cv_push, cv_pop, cv_done;
+    std::deque<std::pair<int64_t, std::string>> q;
+    size_t q_bytes = 0;
+    const size_t QCAP = 64;
+    const size_t QBYTES = 256u << 20;
+    // reorder window: completed-but-unspilled triples are also bounded, or
+    // a slow spiller (sort + disk) would re-grow the whole-file working set
+    const int64_t PENDING_MAX = chunk_triples * 2;
+    bool done = false;
+    bool io_failed = false;
+    std::deque<std::vector<uint32_t>> feat;
+    std::deque<std::vector<int32_t>> wins;
+    std::deque<char> completed;
+    int64_t pending_triples = 0;
+    int64_t spill_next = 0;   // next record the spiller consumes
+
+    int T = nthreads > 0 ? nthreads
+                         : (int)std::thread::hardware_concurrency();
+    if (T < 1) T = 1;
+    auto work = [&]() {
+        std::vector<uint8_t> codes;
+        std::vector<uint32_t> hashes;
+        for (;;) {
+            std::pair<int64_t, std::string> item;
+            {
+                std::unique_lock<std::mutex> lk(mu);
+                cv_pop.wait(lk, [&] { return !q.empty() || done; });
+                if (q.empty()) return;
+                item = std::move(q.front());
+                q.pop_front();
+                q_bytes -= item.second.size();
+                cv_push.notify_one();
+            }
+            std::vector<uint32_t> f;
+            std::vector<int32_t> w;
+            sketch_one((const uint8_t*)item.second.data(),
+                       (int64_t)item.second.size(), k, s, win, stride,
+                       codes, hashes, f, w);
+            {
+                std::lock_guard<std::mutex> lk(mu);
+                pending_triples += (int64_t)f.size();
+                feat[(size_t)item.first] = std::move(f);
+                wins[(size_t)item.first] = std::move(w);
+                completed[(size_t)item.first] = 1;
+                cv_done.notify_one();
+            }
+        }
+    };
+    auto spill = [&]() {
+        for (;;) {
+            std::vector<uint32_t> f;
+            std::vector<int32_t> w;
+            int64_t rec;
+            {
+                std::unique_lock<std::mutex> lk(mu);
+                cv_done.wait(lk, [&] {
+                    return (spill_next < (int64_t)completed.size() &&
+                            completed[(size_t)spill_next]) ||
+                           (done && q.empty() &&
+                            spill_next >= (int64_t)completed.size());
+                });
+                if (spill_next >= (int64_t)completed.size()) break;
+                rec = spill_next++;
+                f = std::move(feat[(size_t)rec]);
+                w = std::move(wins[(size_t)rec]);
+                feat[(size_t)rec] = std::vector<uint32_t>();
+                wins[(size_t)rec] = std::vector<int32_t>();
+                pending_triples -= (int64_t)f.size();
+                cv_push.notify_one();
+            }
+            if (f.empty() || io_failed) continue;
+            int64_t sh = (t0 + rec) % num_shards;
+            ShardBuf& b = bufs[(size_t)sh];
+            int32_t tid = (int32_t)(t0 + rec);
+            b.f.insert(b.f.end(), f.begin(), f.end());
+            b.t.insert(b.t.end(), f.size(), tid);
+            b.w.insert(b.w.end(), w.begin(), w.end());
+            if ((int64_t)b.f.size() >= chunk_triples) {
+                if (!write_chunk(prefix, sh, b, res->chunks, res->error)) {
+                    std::lock_guard<std::mutex> lk(mu);
+                    io_failed = true;
+                }
+            }
+        }
+    };
+    std::vector<std::thread> threads;
+    for (int t = 0; t < T; ++t) threads.emplace_back(work);
+    std::thread spiller(spill);
+
+    Record rec;
+    int64_t i = 0;
+    for (;;) {
+        int st = rd.next(rec);
+        if (st < 0) {
+            res->error = rd.error() ? rd.error() : "read error";
+            break;
+        }
+        if (st == 0) break;
+        int64_t L = (int64_t)rec.data.size();
+        int64_t sh = (t0 + i) % num_shards;
+        bool own = owned[(size_t)sh] != 0;
+        {
+            std::unique_lock<std::mutex> lk(mu);
+            res->headers.push_back(rec.header);
+            res->seq_lens.push_back(L);
+            res->seq_windows.push_back(
+                (int32_t)num_windows_of(L, win, stride));
+            feat.emplace_back();
+            wins.emplace_back();
+            completed.push_back(own && L > 0 ? 0 : 1);
+            if (!(own && L > 0)) cv_done.notify_one();
+            if (own && L > 0) {
+                cv_push.wait(lk, [&] {
+                    return (q.empty() ||
+                            (q.size() < QCAP && q_bytes < QBYTES)) &&
+                           pending_triples < PENDING_MAX;
+                });
+                q_bytes += rec.data.size();
+                q.emplace_back(i, std::move(rec.data));
+                cv_pop.notify_one();
+            }
+            if (io_failed) break;
+        }
+        ++i;
+    }
+    {
+        std::lock_guard<std::mutex> lk(mu);
+        done = true;
+    }
+    cv_pop.notify_all();
+    for (auto& th : threads) th.join();
+    cv_done.notify_all();
+    spiller.join();
+    // flush partial chunk buffers
+    for (int64_t sh = 0; sh < num_shards; ++sh) {
+        if (owned[(size_t)sh] && !io_failed) {
+            if (!write_chunk(prefix, sh, bufs[(size_t)sh], res->chunks,
+                             res->error))
+                break;
+        }
+    }
+    return res;
+}
+
+void mcio_sp_counts(void* vr, int64_t* n_records, int64_t* n_chunks,
+                    int64_t* hdr_bytes) {
+    SpillResult* r = (SpillResult*)vr;
+    *n_records = (int64_t)r->seq_lens.size();
+    *n_chunks = (int64_t)r->chunks.size();
+    int64_t hb = 0;
+    for (auto& h : r->headers) hb += (int64_t)h.size();
+    *hdr_bytes = hb;
+}
+
+void mcio_sp_fetch(void* vr, char* headers, int64_t* hdr_off,
+                   int64_t* seq_lens, int32_t* seq_windows,
+                   int64_t* chunk_shard, int64_t* chunk_index,
+                   int64_t* chunk_count) {
+    SpillResult* r = (SpillResult*)vr;
+    int64_t n = (int64_t)r->seq_lens.size();
+    int64_t hp = 0;
+    hdr_off[0] = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const auto& h = r->headers[(size_t)i];
+        memcpy(headers + hp, h.data(), h.size());
+        hp += (int64_t)h.size();
+        hdr_off[i + 1] = hp;
+        seq_lens[i] = r->seq_lens[(size_t)i];
+        seq_windows[i] = r->seq_windows[(size_t)i];
+    }
+    for (size_t c = 0; c < r->chunks.size(); ++c) {
+        chunk_shard[c] = r->chunks[c].shard;
+        chunk_index[c] = r->chunks[c].index;
+        chunk_count[c] = r->chunks[c].count;
+    }
+}
+
+const char* mcio_sp_error(void* vr) {
+    return ((SpillResult*)vr)->error.c_str();
+}
+
+void mcio_sp_free(void* vr) { delete (SpillResult*)vr; }
+
+}  // extern "C"  (reopened below)
+
+namespace {
+
+// Buffered cursor over one spill chunk file (int64 n, f[n], t[n], w[n]).
+struct ChunkCursor {
+    FILE* fp = nullptr;
+    int64_t n = 0;          // triples in the chunk
+    int64_t consumed = 0;   // triples consumed so far
+    // windowed buffers over the three arrays
+    std::vector<uint32_t> bf;
+    std::vector<int32_t> bt, bw;
+    int64_t buf_pos = 0, buf_len = 0;
+    int64_t f_base = 0;     // file offsets of the three arrays
+    int64_t t_base = 0, w_base = 0;
+    static const int64_t BUF = 1 << 20;   // triples per refill (12 MB)
+
+    bool open(const char* path) {
+        fp = fopen(path, "rb");
+        if (!fp) return false;
+        if (fread(&n, sizeof(int64_t), 1, fp) != 1) return false;
+        f_base = (int64_t)sizeof(int64_t);
+        t_base = f_base + n * (int64_t)sizeof(uint32_t);
+        w_base = t_base + n * (int64_t)sizeof(int32_t);
+        return refill();
+    }
+    bool refill() {
+        int64_t left = n - consumed;
+        buf_len = left < BUF ? left : BUF;
+        buf_pos = 0;
+        if (buf_len == 0) return true;
+        bf.resize((size_t)buf_len);
+        bt.resize((size_t)buf_len);
+        bw.resize((size_t)buf_len);
+        if (fseeko(fp, f_base + consumed * (int64_t)sizeof(uint32_t),
+                   SEEK_SET) != 0 ||
+            fread(bf.data(), sizeof(uint32_t), (size_t)buf_len, fp) !=
+                (size_t)buf_len)
+            return false;
+        if (fseeko(fp, t_base + consumed * (int64_t)sizeof(int32_t),
+                   SEEK_SET) != 0 ||
+            fread(bt.data(), sizeof(int32_t), (size_t)buf_len, fp) !=
+                (size_t)buf_len)
+            return false;
+        if (fseeko(fp, w_base + consumed * (int64_t)sizeof(int32_t),
+                   SEEK_SET) != 0 ||
+            fread(bw.data(), sizeof(int32_t), (size_t)buf_len, fp) !=
+                (size_t)buf_len)
+            return false;
+        return true;
+    }
+    bool empty() const { return consumed >= n; }
+    uint32_t feature() const { return bf[(size_t)buf_pos]; }
+    int32_t tgt() const { return bt[(size_t)buf_pos]; }
+    int32_t win() const { return bw[(size_t)buf_pos]; }
+    bool advance() {   // returns false on IO error
+        ++buf_pos;
+        ++consumed;
+        if (buf_pos >= buf_len && consumed < n) return refill();
+        return true;
+    }
+    ~ChunkCursor() {
+        if (fp) fclose(fp);
+    }
+};
+
+// buffered appender for one output array file
+struct OutFile {
+    FILE* fp = nullptr;
+    std::vector<uint8_t> buf;
+    size_t pos = 0;
+    static const size_t BUF = 4u << 20;
+
+    bool open(const std::string& path) {
+        fp = fopen(path.c_str(), "wb");
+        if (fp) buf.resize(BUF);
+        return fp != nullptr;
+    }
+    bool put(const void* p, size_t sz) {
+        if (pos + sz > BUF) {
+            if (fwrite(buf.data(), 1, pos, fp) != pos) return false;
+            pos = 0;
+        }
+        memcpy(buf.data() + pos, p, sz);
+        pos += sz;
+        return true;
+    }
+    bool close() {
+        bool ok = true;
+        if (fp) {
+            if (pos && fwrite(buf.data(), 1, pos, fp) != pos) ok = false;
+            if (fclose(fp) != 0) ok = false;
+            fp = nullptr;
+        }
+        return ok;
+    }
+    ~OutFile() {
+        if (fp) fclose(fp);
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// K-way merge of feature-sorted spill chunk files into a CSR feature
+// table, STREAMED to four output files: "<out>.keys.bin" (u32),
+// "<out>.offs.bin" (i64, n_keys+1 entries), "<out>.lt.bin" /
+// "<out>.lw.bin" (i32) — the finalize step of the bounded-memory build
+// (FeatureTable construction without ever materializing the table in
+// RAM; the reference's analogue is its per-rank hash-map serialization,
+// src/sketch_database.h:1008-1045). Within one feature, locations emerge
+// in (chunk index, position) order == global insertion order (chunks are
+// written in record order), so the per-feature cap keeps the FIRST `cap`
+// locations exactly like hash_multimap insertion + shrink. Returns the
+// merged location count (or -1 on IO error) and writes the key count to
+// *out_nkeys.
+int64_t mcio_merge_chunks_csr(const char** paths, int64_t n_chunks,
+                              int64_t cap, const char* out_prefix,
+                              int64_t* out_nkeys) {
+    std::vector<ChunkCursor> cur((size_t)n_chunks);
+    for (int64_t c = 0; c < n_chunks; ++c) {
+        if (!cur[(size_t)c].open(paths[c])) return -1;
+    }
+    std::string pre(out_prefix);
+    OutFile fk, fo, ft, fw;
+    if (!fk.open(pre + ".keys.bin") || !fo.open(pre + ".offs.bin") ||
+        !ft.open(pre + ".lt.bin") || !fw.open(pre + ".lw.bin"))
+        return -1;
+    // binary min-heap of (feature << 20 | chunk) — chunk-index ties
+    // preserve insertion order (chunk < 2^20)
+    if (n_chunks >= (1 << 20)) return -1;
+    std::vector<uint64_t> heap;
+    heap.reserve((size_t)n_chunks);
+    auto push = [&](uint64_t v) {
+        heap.push_back(v);
+        size_t i = heap.size() - 1;
+        while (i > 0) {
+            size_t p = (i - 1) / 2;
+            if (heap[p] <= heap[i]) break;
+            std::swap(heap[p], heap[i]);
+            i = p;
+        }
+    };
+    auto pop = [&]() {
+        uint64_t top = heap[0];
+        heap[0] = heap.back();
+        heap.pop_back();
+        size_t i = 0, n = heap.size();
+        for (;;) {
+            size_t l = 2 * i + 1, r = l + 1, m = i;
+            if (l < n && heap[l] < heap[m]) m = l;
+            if (r < n && heap[r] < heap[m]) m = r;
+            if (m == i) break;
+            std::swap(heap[i], heap[m]);
+            i = m;
+        }
+        return top;
+    };
+    for (int64_t c = 0; c < n_chunks; ++c) {
+        if (!cur[(size_t)c].empty())
+            push(((uint64_t)cur[(size_t)c].feature() << 20) | (uint64_t)c);
+    }
+    int64_t nk = 0, nl = 0;
+    int64_t zero = 0;
+    if (!fo.put(&zero, sizeof(int64_t))) return -1;
+    bool have_last = false;
+    uint32_t last_key = 0;
+    int64_t run_kept = 0;
+    while (!heap.empty()) {
+        uint64_t top = pop();
+        uint32_t f = (uint32_t)(top >> 20);
+        int64_t c = (int64_t)(top & ((1u << 20) - 1));
+        ChunkCursor& cc = cur[(size_t)c];
+        if (!have_last || f != last_key) {
+            if (have_last) {
+                if (!fo.put(&nl, sizeof(int64_t))) return -1;
+            }
+            if (!fk.put(&f, sizeof(uint32_t))) return -1;
+            ++nk;
+            last_key = f;
+            have_last = true;
+            run_kept = 0;
+        }
+        if (run_kept < cap) {
+            int32_t t = cc.tgt(), w = cc.win();
+            if (!ft.put(&t, sizeof(int32_t)) ||
+                !fw.put(&w, sizeof(int32_t)))
+                return -1;
+            ++nl;
+            ++run_kept;
+        }
+        if (!cc.advance()) return -1;
+        if (!cc.empty())
+            push(((uint64_t)cc.feature() << 20) | (uint64_t)c);
+    }
+    if (have_last) {
+        if (!fo.put(&nl, sizeof(int64_t))) return -1;
+    }
+    if (!fk.close() || !fo.close() || !ft.close() || !fw.close()) return -1;
+    *out_nkeys = nk;
+    return nl;
+}
+
 // Sketch pre-parsed sequences (concatenated bytes + offsets); record i is
 // sketched iff (t0+i) % num_shards == shard_id.
 void* mcio_sketch_many(const uint8_t* seqs, const int64_t* off, int64_t n,
