@@ -375,6 +375,14 @@ class ShardedQueryEngine(EngineBase):
             merged = cand_ops._dedup_topk(flat["tax"], flat["hits"],
                                           flat["beg"], flat["end"],
                                           flat["tgt"], C)
+            # fusion fence before classify — same pathology fix as the
+            # fused engine (_query_batch_device): XLA fusing across this
+            # boundary inserts S(1)-staged relayouts of the candidate
+            # stage on GB-scale tables (112 -> 0.04 ms/batch at config-3,
+            # tools/exp_r5_cls2.py). Semantically a no-op.
+            merged = dict(merged)
+            merged["tax"], merged["hits"] = jax.lax.optimization_barrier(
+                (merged["tax"], merged["hits"]))
             best, best_rank = classify_op.classify_lca(
                 merged["tax"], merged["hits"], lineage, hits_min, hits_diff,
                 highest)

@@ -296,6 +296,21 @@ def _query_batch_device(fused,
         search_steps=search_steps, use_pallas_sketch=use_pallas_sketch,
         win_bits=win_bits, direct_mb=direct_mb, ci_shift=ci_shift,
         tax_onehot=tax_onehot)
+    # fusion fence: letting XLA fuse across the candidates->classify
+    # boundary makes it re-layout the candidate stage through S(1)-staged
+    # copies on GB-scale-table configs — the whole batch cost 112 ms
+    # instead of 0.04 ms at config-3 scale (round-5 single-use-input
+    # bisect, tools/exp_r5_cls2.py; repeated-input timings hid it because
+    # this service serves identical executions from a cache). The fence
+    # covers EVERY tensor that crosses out of the candidate stage —
+    # classify inputs and program outputs alike; fencing only (tax, hits)
+    # left the program at 112 ms because the returned candidate tensors
+    # re-triggered the relayout. Semantically a no-op.
+    keys5 = ("tax", "hits", "beg", "end", "tgt")
+    fenced = jax.lax.optimization_barrier(
+        tuple(cand[k] for k in keys5) + (total, overflow))
+    cand = dict(zip(keys5, fenced[:5]))
+    total, overflow = fenced[5], fenced[6]
     best, best_rank = classify_op.classify_lca(
         cand["tax"], cand["hits"], ranked_lineage, hits_min, hits_diff,
         highest_rank)
