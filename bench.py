@@ -720,6 +720,213 @@ def measure_config3() -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# BASELINE config 2: "RefSeq viral complete genomes DB (~15k seqs), 1M real
+# Illumina reads, 1 chip". Synthesized analogue: 15k small genomes
+# (log-uniform 2-190 kb, ~0.37 Gbp total), 1M single-end 100 bp reads.
+# Structurally opposite to config-3: MANY targets (seg encoding and the
+# one-hot taxon map are out of range -> gather-map candidate path), tiny
+# per-target window counts, shallow buckets.
+# ---------------------------------------------------------------------------
+C2 = "/tmp/mc_bench_c2"
+C2_GENOMES = 15_000
+C2_READS = 1_048_576
+
+
+def make_config2_world():
+    os.makedirs(C2, exist_ok=True)
+    marker = os.path.join(C2, "world_ok")
+    if os.path.exists(marker):
+        return
+    log("generating config-2 world (15k small genomes, 1M reads) ...")
+    from tests import util_mockdata as mock
+    rng = np.random.default_rng(42)
+    # taxonomy: species per genome under 500 genera / 50 families
+    nodes = [(1, 1, "no rank"), (2, 1, "superkingdom")]
+    names = {1: "root", 2: "Viruses"}
+    for fam in range(50):
+        nodes.append((10_000 + fam, 2, "family"))
+        names[10_000 + fam] = f"Family{fam}"
+    for gen in range(500):
+        nodes.append((20_000 + gen, 10_000 + gen // 10, "genus"))
+        names[20_000 + gen] = f"Genus{gen}"
+    for sp in range(C2_GENOMES):
+        nodes.append((100_000 + sp, 20_000 + sp // 30, "species"))
+        names[100_000 + sp] = f"Species{sp}"
+    mock.write_ncbi_taxonomy(os.path.join(C2, "tax"), nodes, names)
+    lens = np.exp(rng.uniform(np.log(2_000), np.log(190_000),
+                              C2_GENOMES)).astype(np.int64)
+    reads_per = np.zeros(C2_GENOMES, np.int64)
+    reads_per[:] = C2_READS // C2_GENOMES
+    reads_per[:C2_READS - int(reads_per.sum())] += 1
+    span = np.arange(100)
+    rd_chunks, rd_ids = [], []
+    with open(os.path.join(C2, "genomes.fa"), "wb") as f:
+        for gi in range(C2_GENOMES):
+            L = int(lens[gi])
+            g = rng.integers(0, 4, L, dtype=np.int8)
+            sp = 100_000 + gi
+            f.write(f">NC_{gi:06d}.1|taxid|{sp}| virus\n".encode())
+            f.write(_B[g].tobytes())
+            f.write(b"\n")
+            n = int(reads_per[gi])
+            if n:
+                pos = rng.integers(0, max(1, L - 110), n)
+                r = g[pos[:, None] + span[None, :]]
+                m = rng.random(r.shape) < 0.015
+                r[m] = rng.integers(0, 4, int(m.sum()), dtype=np.int8)
+                rd_chunks.append(r)
+                rd_ids.extend([gi] * n)
+    arr = _B[np.concatenate(rd_chunks)]
+    perm = np.random.default_rng(7).permutation(len(rd_ids))
+    ids = np.asarray(rd_ids)[perm]
+    arr = arr[perm]
+    with open(os.path.join(C2, "reads.fa"), "wb") as f:
+        for i in range(arr.shape[0]):
+            f.write(b">r%d_NC_%06d.1\n" % (i, ids[i]))
+            f.write(arr[i].tobytes())
+            f.write(b"\n")
+    open(marker, "w").write("ok")
+
+
+def measure_config2() -> dict:
+    """Config-2 scale: single-shard CLI build + 1M single-end reads through
+    the pipelined engine. Reference numbers cached in BENCH_BASELINE."""
+    import time as _t
+    from metacache_tpu.utils.memory import vm_peak_mb
+    from metacache_tpu.modes.build import main_mode_build
+    from metacache_tpu.modes.query import load_all_shards
+    from metacache_tpu.utils import ArgsParser
+    out = {}
+    gbp = None
+    cachef = os.path.join(C2, "c2_build.json")
+    dbbase = os.path.join(C2, "mydb")
+    gbp = os.path.getsize(os.path.join(C2, "genomes.fa")) / 1e9  # ~bases
+    if os.path.exists(cachef) and os.path.exists(dbbase + "_0.npz"):
+        with open(cachef) as f:
+            out.update(json.load(f))
+        out["config2_build_cached"] = True
+    else:
+        log(f"config-2 build ({gbp:.2f} Gbp, 1 shard) ...")
+        t0 = _t.time()
+        main_mode_build(ArgsParser(
+            ["build", dbbase, os.path.join(C2, "genomes.fa"),
+             "-taxonomy", os.path.join(C2, "tax"), "-silent"]))
+        wall = _t.time() - t0
+        out["config2_build_seconds"] = round(wall, 1)
+        out["config2_build_gbps"] = round(gbp / wall, 5)
+        with open(cachef, "w") as f:
+            json.dump(out, f)
+        out["config2_build_cached"] = False
+        log(f"config-2 build: {gbp:.2f} Gbp in {wall:.0f}s")
+    # --- reference on the same world (cached) ---
+    ref = {}
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            ref = json.load(f)
+    refbin = "/tmp/refbuild/metacache_mpi2"
+    runstub = "/tmp/refbuild/run_stub.sh"
+    if "config2_ref_reads_per_sec" not in ref and os.path.exists(refbin):
+        log("reference on config-2 world (build + query, one-time) ...")
+        t0 = _t.time()
+        r = subprocess.run([runstub, "2", refbin, "build",
+                            os.path.join(C2, "refdb"),
+                            os.path.join(C2, "genomes.fa"),
+                            "-taxonomy", os.path.join(C2, "tax")],
+                           capture_output=True, text=True)
+        if r.returncode == 0:
+            ref["config2_ref_build_gbps"] = round(gbp / (_t.time() - t0), 5)
+            t0 = _t.time()
+            subprocess.run([runstub, "2", refbin, "query",
+                            os.path.join(C2, "refdb"),
+                            os.path.join(C2, "reads.fa"),
+                            "-lowest", "species",
+                            "-out", os.path.join(C2, "ref_out.txt")],
+                           capture_output=True, text=True)
+            wall = _t.time() - t0
+            speed = None
+            try:
+                with open(os.path.join(C2, "ref_out.txt")) as f:
+                    for line in f:
+                        m = re.match(r"# speed:\s+([0-9.eE+]+) queries/min",
+                                     line)
+                        if m:
+                            speed = float(m.group(1)) / 60.0
+            except OSError:
+                pass
+            ref["config2_ref_reads_per_sec"] = round(
+                speed if speed else C2_READS / wall, 1)
+            with open(BASELINE_FILE, "w") as f:
+                json.dump(ref, f, indent=1)
+    # --- our query: 1M single-end reads, pipelined engine ---
+    from metacache_tpu.config import ClassifyParams, QueryPipelineParams
+    from metacache_tpu.query.engine import QueryEngine
+    from metacache_tpu.native import NativeBatchReader
+    db = load_all_shards(dbbase)
+    sizes = db.features.bucket_sizes()
+    out["config2_features"] = int(db.features.num_keys)
+    out["config2_locations"] = int(db.features.num_locations)
+    out["config2_max_bucket"] = int(sizes.max())
+    pipeline = QueryPipelineParams(batch_size=16384, max_query_len=104,
+                                   max_locations_per_query=256)
+    eng = QueryEngine(db, ClassifyParams(lowest_rank="species"), pipeline)
+    out["config2_direct_mb"] = eng._direct_mb
+    out["config2_win_bits"] = eng._win_bits
+    out["config2_seg"] = eng._seg_shift
+    log(f"config-2 DB: {out['config2_features']} features, max bucket "
+        f"{out['config2_max_bucket']}, direct_mb {eng._direct_mb}, "
+        f"win_bits {eng._win_bits}")
+    batches = list(NativeBatchReader(
+        os.path.join(C2, "reads.fa"), None, "none",
+        pipeline.batch_size, pipeline.max_query_len))
+    wires = [eng.precompute_wire(b.packed1, b.ambig1, b.lens1,
+                                 b.packed2, b.ambig2, b.lens2)
+             for b in batches]
+    b0 = batches[0]
+    eng.materialize(eng.dispatch_packed(
+        b0.packed1, b0.ambig1, b0.lens1, b0.packed2, b0.ambig2, b0.lens2),
+        b0.n).best
+    warm = [(eng.dispatch_packed(b.packed1, b.ambig1, b.lens1,
+                                 b.packed2, b.ambig2, b.lens2), b.n)
+            for b in batches[:8]]
+    for res in eng.materialize_many(warm):
+        res.best
+    speeds, probes = [], []
+    n_classified = 0
+    for trial in range(3):
+        probes.append(weather_probe())
+        t0 = _t.time()
+        total = 0
+        pending = [(eng.dispatch_packed(
+            b.packed1, b.ambig1, b.lens1, b.packed2, b.ambig2, b.lens2,
+            wire=w), b.n) for b, w in zip(batches, wires)]
+        results = eng.materialize_many(pending)
+        for res, (_, m) in zip(results, pending):
+            total += m
+            if trial == 0:
+                n_classified += int((res.best[:m] != 0).sum())
+            else:
+                res.best
+        wall = _t.time() - t0
+        log(f"config-2 trial {trial}: {total} reads in {wall:.2f}s = "
+            f"{total/wall:.0f} reads/s (probe {probes[-1]:.0f} MB/s)")
+        speeds.append(total / wall)
+    med = sorted(speeds)[len(speeds) // 2]
+    out["config2_reads_per_sec"] = round(max(speeds), 1)
+    out["config2_median_reads_per_sec"] = round(med, 1)
+    out["config2_h2d_probes_mbps"] = probes
+    out["config2_classified_frac"] = round(n_classified / C2_READS, 4)
+    out["config2_query_peak_rss_mb"] = round(vm_peak_mb() or 0, 1)
+    if ref.get("config2_ref_reads_per_sec"):
+        out["config2_vs_baseline"] = round(
+            out["config2_reads_per_sec"]
+            / ref["config2_ref_reads_per_sec"], 3)
+    if ref.get("config2_ref_build_gbps") and out.get("config2_build_gbps"):
+        out["config2_build_vs_baseline"] = round(
+            out["config2_build_gbps"] / ref["config2_ref_build_gbps"], 3)
+    return out
+
+
 def measure_end_to_end() -> dict:
     """Full CLI pipeline on the realistic world: native reader -> engine ->
     per-read mapping output written to a file — directly comparable to the
@@ -794,6 +1001,12 @@ def main():
             build.update(measure_end_to_end())
         except Exception as e:
             log(f"realistic workload failed: {type(e).__name__}: {e}")
+    if os.environ.get("METACACHE_BENCH_C2", "1") != "0":
+        try:
+            make_config2_world()
+            build.update(measure_config2())
+        except Exception as e:
+            log(f"config-2 workload failed: {type(e).__name__}: {e}")
     if os.environ.get("METACACHE_BENCH_C3", "1") != "0":
         try:
             make_config3_world()

@@ -345,6 +345,10 @@ class ShardedQueryEngine(EngineBase):
             if wire == "slim":
                 packed1, ambig1, lens1, packed2, ambig2, lens2 = \
                     unfuse_device_inputs_slim(fused, qlen, len_bytes)
+            elif wire == "slim1":
+                from ..query.engine import unfuse_device_inputs_slim1
+                packed1, ambig1, lens1, packed2, ambig2, lens2 = \
+                    unfuse_device_inputs_slim1(fused, qlen, len_bytes)
             else:
                 packed1, ambig1, lens1, packed2, ambig2, lens2 = \
                     unfuse_device_inputs(fused, qlen)

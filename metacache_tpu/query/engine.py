@@ -216,6 +216,37 @@ def fuse_host_inputs_slim(p1, l1, p2, l2, len_bytes: int) -> np.ndarray:
     return np.concatenate([p1, p2, l1b, l2b], axis=1)
 
 
+def fuse_host_inputs_slim1(p1, l1, len_bytes: int) -> np.ndarray:
+    """Single-end slim wire: mate-1 packed bases + length ONLY — 27 B per
+    100bp read instead of the paired slim format's 54 B. The engine's
+    throughput floor in degraded service windows is the small-transfer
+    byte rate (~4 MB/s effective, PERF.md round 5), so single-end
+    workloads (BASELINE config-2's 1M Illumina reads) double by not
+    shipping an empty mate. Auto-selected per batch when every mate-2
+    length is zero (dispatch_packed detects the format by row width)."""
+    B = p1.shape[0]
+    dt = "<u1" if len_bytes == 1 else "<u2"
+    l1b = np.ascontiguousarray(l1.astype(dt)).view(np.uint8).reshape(
+        B, len_bytes)
+    return np.concatenate([p1, l1b], axis=1)
+
+
+def unfuse_device_inputs_slim1(fused, qlen: int, len_bytes: int):
+    """Device-side inverse of fuse_host_inputs_slim1 (mate 2 empty)."""
+    pw = qlen // 4
+    p1 = fused[:, :pw]
+    if len_bytes == 1:
+        l1 = fused[:, pw].astype(jnp.int32)
+    else:
+        l1 = (fused[:, pw].astype(jnp.int32)
+              | (fused[:, pw + 1].astype(jnp.int32) << 8))
+    l2 = jnp.zeros_like(l1)
+    p2 = jnp.zeros_like(p1)
+    a1 = encode.synth_ambig_from_lens(l1, qlen)
+    a2 = encode.synth_ambig_from_lens(l2, qlen)
+    return p1, a1, l1, p2, a2, l2
+
+
 def unfuse_device_inputs_slim(fused, qlen: int, len_bytes: int):
     """Device-side inverse of fuse_host_inputs_slim; the ambiguity planes
     are synthesized (padding-only) from the lengths."""
@@ -282,6 +313,9 @@ def _query_batch_device(fused,
     if wire == "slim":
         packed1, ambig1, lens1, packed2, ambig2, lens2 = \
             unfuse_device_inputs_slim(fused, qlen, len_bytes)
+    elif wire == "slim1":
+        packed1, ambig1, lens1, packed2, ambig2, lens2 = \
+            unfuse_device_inputs_slim1(fused, qlen, len_bytes)
     else:
         packed1, ambig1, lens1, packed2, ambig2, lens2 = \
             unfuse_device_inputs(fused, qlen)
@@ -663,8 +697,14 @@ class EngineBase:
         readers/pipelines overlap or amortize the packing work."""
         if self._wire == "slim":
             qlen = self.pipeline.max_query_len
-            fused = fuse_host_inputs_slim(p1, lens1, p2, lens2,
-                                          self._len_bytes)
+            lens2arr = np.asarray(lens2)
+            if lens2arr.size and int(lens2arr.max()) == 0:
+                # single-end batch: ship only mate 1 (27 vs 54 B/read —
+                # the wire is the floor in degraded service windows)
+                fused = fuse_host_inputs_slim1(p1, lens1, self._len_bytes)
+            else:
+                fused = fuse_host_inputs_slim(p1, lens1, p2, lens2,
+                                              self._len_bytes)
             ambig = np.zeros(p1.shape[0], bool)
             if a1 is not None:
                 ambig |= encode.np_rows_with_ambiguity(a1, lens1, qlen)
@@ -689,9 +729,17 @@ class EngineBase:
         sfmt = self._main_sfmt()
         fused, ambig_rows = wire if wire is not None else \
             self.precompute_wire(p1, a1, lens1, p2, a2, lens2)
+        wire_fmt = self._wire
+        if wire_fmt == "slim":
+            # the single-end format is detected by row width (pw+len_bytes
+            # vs 2*(pw+len_bytes)) so precompute_wire results stay a
+            # 2-tuple for callers
+            pw = self.pipeline.max_query_len // 4
+            if fused.shape[1] == pw + self._len_bytes:
+                wire_fmt = "slim1"
         out = self._dispatch_tier(fused, exclude_groups, self.lmax_fast,
                                   direct_mb=self._direct_mb,
-                                  wire=self._wire, sfmt=sfmt)
+                                  wire=wire_fmt, sfmt=sfmt)
         if self._direct_mb > 0 and self._direct_exact:
             # overflow is provably all-zero in the exact direct tier (every
             # feature's full location list fits the static per-feature cap)

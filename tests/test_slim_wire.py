@@ -91,6 +91,36 @@ def test_slim_equals_legacy_ambiguous_reads(world):
     np.testing.assert_array_equal(rs.match_total[:64], rl.match_total[:64])
 
 
+def test_single_end_slim1_equals_legacy(world):
+    """A single-end batch (all mate-2 lengths zero) auto-selects the
+    27-B/read slim1 wire (half the paired slim format); results must be
+    bit-identical to the legacy wire."""
+    db, genomes, rng = world
+    slim, legacy = _engines(db)
+    c1, l1, c2, l2 = slim.make_host_buffers()
+    for i in range(64):
+        g = genomes[int(rng.integers(0, len(genomes)))]
+        pos = int(rng.integers(0, len(g) - 200))
+        encode_read_into(c1, l1, i, g[pos:pos + 100], 128)
+    assert int(l2.max()) == 0
+    fused, ambig_rows = slim.precompute_wire(
+        *_pack_args(slim, c1, l1, c2, l2))
+    # single-end wire is mate-1-only: pw + len_bytes columns
+    assert fused.shape[1] == 128 // 4 + slim._len_bytes
+    rs = slim.classify_batch(c1, l1, c2, l2, 64)
+    rl = legacy.classify_batch(c1, l1, c2, l2, 64)
+    np.testing.assert_array_equal(rs.best[:64], rl.best[:64])
+    np.testing.assert_array_equal(rs.best_rank[:64], rl.best_rank[:64])
+    np.testing.assert_array_equal(rs.match_total[:64], rl.match_total[:64])
+    assert int((rs.best[:64] != 0).sum()) > 32
+
+
+def _pack_args(eng, c1, l1, c2, l2):
+    p1, a1 = encode.np_pack_codes(c1)
+    p2, a2 = encode.np_pack_codes(c2)
+    return p1, a1, l1, p2, a2, l2
+
+
 def test_ambig_row_detection_masks_padding():
     # padding bits (np_pack_codes marks them) must NOT flag a row
     codes = np.full((3, 16), 255, np.uint8)
