@@ -203,10 +203,12 @@ def _segment_broadcast_min(values, new_seg, vmax: int):
 
 
 @functools.partial(jax.jit, static_argnames=("max_candidates", "win_bits",
-                                             "ci_shift", "tax_onehot"))
+                                             "ci_shift", "tax_onehot",
+                                             "map_topk"))
 def generate_candidates(tgt, win, num_windows, target_cand_tax,
                         max_candidates: int, win_bits: int = 0,
-                        ci_shift: int = 0, tax_onehot: bool = False):
+                        ci_shift: int = 0, tax_onehot: bool = False,
+                        map_topk: bool = False):
     """Top-k candidates per read.
 
     Args:
@@ -226,6 +228,17 @@ def generate_candidates(tgt, win, num_windows, target_cand_tax,
                 single-word operands (~40% less sort traffic — the
                 stage's dominant device cost, PERF.md round 4). 0 falls
                 back to the multi-operand formulation (result-identical).
+      map_topk: the caller asserts target_cand_tax restricted to real
+                targets is INJECTIVE (every target its own candidate
+                taxon — e.g. sequence-level classification, or one
+                genome per species as in BASELINE config-2). Dedup then
+                keys on the raw target id (dedup-by-target ==
+                dedup-by-taxon under a bijection) and only the C winning
+                candidates' taxa are gathered from the map — a [B, C]
+                gather instead of the [B, L] per-element map gather that
+                costs ~75 ns/element on this backend (the configurations
+                where BOTH seg encoding (nci > 2048) and the one-hot map
+                (operand bytes) are out of range).
       ci_shift: static bit position of a COMPACT CANDIDATE-TAXON INDEX
                 baked into the tgt field: tgt = (ci << ci_shift) | raw_tgt
                 (engine-side seg encoding). The dedup key is then just
@@ -301,6 +314,10 @@ def generate_candidates(tgt, win, num_windows, target_cand_tax,
         # (dedup-by-ci == dedup-by-taxon: ci <-> taxon is a bijection);
         # +1 keeps 0 as the empty-slot marker
         key = jnp.where(rep, (tgt >> ci_shift) + 1, _BIG)
+    elif map_topk:
+        # injective map (caller-asserted): dedup by raw target id; the
+        # winners' taxa are gathered AFTER the top-k cut ([B, C] only)
+        key = jnp.where(rep, tgt + 1, _BIG)
     else:
         safe_tgt = jnp.where(valid, tgt, T1 - 1)
         # gate the [B, L, T1] f32 one-hot operand on BYTES, not target
@@ -368,8 +385,12 @@ def generate_candidates(tgt, win, num_windows, target_cand_tax,
         f_end = f_end[:, :Cn]
         f_tgt = f_tgt[:, :Cn]
     beg = jnp.take_along_axis(win, top_left, axis=1)
+    out_tax = f_key[:, :Cn]
+    if map_topk:
+        # map only the C winners — [B, C] gather vs [B, L] per element
+        out_tax = target_cand_tax[jnp.clip(f_tgt, 0, T1 - 1)]
     return {
-        "tax": jnp.where(top_ok, f_key[:, :Cn], 0),
+        "tax": jnp.where(top_ok, out_tax, 0),
         "hits": jnp.where(top_ok, f_hits, 0),
         "beg": jnp.where(top_ok, beg, 0),
         "end": jnp.where(top_ok, f_end, 0),

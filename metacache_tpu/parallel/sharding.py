@@ -235,6 +235,12 @@ class ShardedQueryEngine(EngineBase):
                                 self.db.taxonomy.ranked_lineage)
         lineage_np = (lin_small if lin_small is not None
                       else self.db.taxonomy.ranked_lineage.astype(np.int32))
+        # injective target->taxon map: dedup by target id, gather only
+        # top-k winners' taxa (see query.engine; config-2-style worlds)
+        self._map_topk = bool(
+            self._seg_shift == 0 and self.db.target_count > 0
+            and len(np.unique(tct_np[:self.db.target_count]))
+            == self.db.target_count)
         buckets = []
         radix_steps = 1
         for i in range(keys.shape[0]):
@@ -332,6 +338,7 @@ class ShardedQueryEngine(EngineBase):
         win_bits = self._win_bits
         ci_shift = self._seg_shift
         tax_onehot = self._seg_shift == 0 and self._pack_ok
+        map_topk = self._map_topk
         twk = self.target_window_k
         has_packed = self._loc_packed is not None
         has_direct = direct_mb > 0 and self._direct_tbl is not None
@@ -365,7 +372,7 @@ class ShardedQueryEngine(EngineBase):
                 insert_size_max=insert_max, search_steps=search_steps,
                 use_pallas_sketch=use_pallas, win_bits=win_bits,
                 direct_mb=direct_mb, ci_shift=ci_shift,
-                tax_onehot=tax_onehot)
+                tax_onehot=tax_onehot, map_topk=map_topk)
             B = tgt.shape[0]
 
             # ---- cross-shard candidate merge over ICI ----

@@ -87,7 +87,7 @@ def local_candidates(packed1, ambig1, lens1, packed2, ambig2, lens2,
                      lmax: int, max_candidates: int, insert_size_max: int,
                      search_steps: int, use_pallas_sketch: bool,
                      win_bits: int, direct_mb: int = 0, ci_shift: int = 0,
-                     tax_onehot: bool = False):
+                     tax_onehot: bool = False, map_topk: bool = False):
     """Sketch -> lookup -> (clade exclusion) -> candidate generation over
     ONE feature-table (shard). Shared by the single-chip engine and each
     shard of the sharded engine (the reference runs the identical local
@@ -143,7 +143,8 @@ def local_candidates(packed1, ambig1, lens1, packed2, ambig2, lens2,
                                         target_cand_tax, max_candidates,
                                         win_bits=win_bits,
                                         ci_shift=ci_shift,
-                                        tax_onehot=tax_onehot)
+                                        tax_onehot=tax_onehot,
+                                        map_topk=map_topk)
     return cand, tgt, win, total, overflow
 
 
@@ -285,7 +286,8 @@ def unpack_summary_word(v: np.ndarray):
                      "max_candidates", "highest_rank", "window_stride",
                      "insert_size_max", "target_window_k", "search_steps",
                      "use_pallas_sketch", "win_bits", "qlen", "direct_mb",
-                     "wire", "sfmt", "len_bytes", "ci_shift", "tax_onehot"))
+                     "wire", "sfmt", "len_bytes", "ci_shift", "tax_onehot",
+                     "map_topk"))
 def _query_batch_device(fused,
                         keys, offsets, loc_tgt, loc_win, target_cand_tax,
                         ranked_lineage, hits_min, hits_diff,
@@ -302,7 +304,7 @@ def _query_batch_device(fused,
                         win_bits: int = 0, direct_mb: int = 0,
                         wire: str = "legacy", sfmt: str = "s4",
                         len_bytes: int = 1, ci_shift: int = 0,
-                        tax_onehot: bool = False):
+                        tax_onehot: bool = False, map_topk: bool = False):
     """One fused device program: 2-bit-packed reads -> classification.
 
     When ci_shift > 0 the location words are seg-encoded (compact
@@ -329,7 +331,7 @@ def _query_batch_device(fused,
         max_candidates=max_candidates, insert_size_max=insert_size_max,
         search_steps=search_steps, use_pallas_sketch=use_pallas_sketch,
         win_bits=win_bits, direct_mb=direct_mb, ci_shift=ci_shift,
-        tax_onehot=tax_onehot)
+        tax_onehot=tax_onehot, map_topk=map_topk)
     # fusion fence: letting XLA fuse across the candidates->classify
     # boundary makes it re-layout the candidate stage through S(1)-staged
     # copies on GB-scale-table configs — the whole batch cost 112 ms
@@ -964,6 +966,14 @@ class QueryEngine(EngineBase):
                                 db.taxonomy.ranked_lineage)
         self._lineage_small = (jnp.asarray(lin_small)
                                if lin_small is not None else None)
+        # injective target->candidate-taxon map (e.g. one genome per
+        # species): candidates can dedup by raw target id and gather only
+        # the top-k winners' taxa — the fallback for worlds where both
+        # seg encoding and the one-hot map are out of range (config-2)
+        self._map_topk = bool(
+            self._seg_shift == 0 and db.target_count > 0
+            and len(np.unique(tct_np[:db.target_count]))
+            == db.target_count)
         if packed is None:
             self._loc_tgt = jnp.asarray(loc_tgt)
             self._loc_win = jnp.asarray(loc_win)
@@ -1092,7 +1102,8 @@ class QueryEngine(EngineBase):
             win_bits=self._win_bits, direct_mb=direct_mb,
             wire=wire, sfmt=sfmt, len_bytes=self._len_bytes,
             ci_shift=self._seg_shift,
-            tax_onehot=self._seg_shift == 0 and self._pack_ok)
+            tax_onehot=self._seg_shift == 0 and self._pack_ok,
+            map_topk=self._map_topk)
         out["_sfmt"] = sfmt
         if self._seg_shift:
             out["_seg_decode"] = (self._seg_shift, self._uniq_tct)

@@ -39,6 +39,16 @@ def run_device(match_lists, num_windows, tgt_to_tax, num_targets, max_cand):
         np.testing.assert_array_equal(np.asarray(out[kk]),
                                       np.asarray(out_oh[kk]),
                                       err_msg=f"onehot path differs: {kk}")
+    # ... and the map_topk path (injective maps only: dedup by target id,
+    # winners' taxa gathered after the top-k cut)
+    if len(np.unique(tmap[:num_targets])) == num_targets:
+        out_mt = cand_ops.generate_candidates(
+            tgt, win, np.asarray(num_windows, np.int32), tmap, max_cand,
+            win_bits=16, map_topk=True)
+        for kk in out:
+            np.testing.assert_array_equal(
+                np.asarray(out[kk]), np.asarray(out_mt[kk]),
+                err_msg=f"map_topk path differs: {kk}")
     # ... and the seg-encoded path (ci_shift > 0): pre-encode tgt as
     # (ci << tb) | raw the way the engine's seg encoding does
     # (query/engine.derive_seg_encoding), re-sort the match rows by encoded
