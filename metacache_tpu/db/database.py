@@ -161,9 +161,44 @@ class Database:
         )
         return path
 
+    @staticmethod
+    def _npz_memmap(path: str, names):
+        """Read-only memmap views over UNCOMPRESSED members of an npz.
+
+        The shard files are written uncompressed (save()), so each member
+        is a raw .npy at a fixed offset inside the zip; mapping them keeps
+        multi-GB feature tables out of resident memory during the fused
+        multi-shard load (config-3 query load peaked at 38 GB RSS in
+        round 4 — pages of mapped tables are clean/evictable instead).
+        """
+        import struct
+        import zipfile
+        from numpy.lib import format as npfmt
+        out = {}
+        with zipfile.ZipFile(path) as zf, open(path, "rb") as fh:
+            for name in names:
+                info = zf.getinfo(name + ".npy")
+                if info.compress_type != zipfile.ZIP_STORED:
+                    return None  # compressed member: caller falls back
+                fh.seek(info.header_offset)
+                hdr = fh.read(30)
+                if hdr[:4] != b"PK\x03\x04":
+                    return None
+                fnlen, extralen = struct.unpack("<HH", hdr[26:30])
+                base = info.header_offset + 30 + fnlen + extralen
+                fh.seek(base)
+                version = npfmt.read_magic(fh)
+                shape, fortran, dtype = npfmt._read_array_header(fh,
+                                                                 version)
+                if fortran:
+                    return None
+                out[name] = np.memmap(path, dtype=dtype, mode="r",
+                                      offset=fh.tell(), shape=shape)
+        return out
+
     @classmethod
     def load(cls, basename: str, shard_id: int = 0,
-             metadata_only: bool = False) -> "Database":
+             metadata_only: bool = False, mmap: bool = False) -> "Database":
         path = shard_path(basename, shard_id)
         if not os.path.exists(path):
             raise FileNotFoundError(f"can't open file {path}")
@@ -192,8 +227,18 @@ class Database:
             if metadata_only:
                 ft = FeatureTable.empty()
             else:
-                ft = FeatureTable(keys=z["keys"], offsets=z["offsets"],
-                                  loc_tgt=z["loc_tgt"], loc_win=z["loc_win"])
+                mm = cls._npz_memmap(
+                    path, ("keys", "offsets", "loc_tgt", "loc_win")) \
+                    if mmap else None
+                if mm is not None:
+                    ft = FeatureTable(keys=mm["keys"],
+                                      offsets=mm["offsets"],
+                                      loc_tgt=mm["loc_tgt"],
+                                      loc_win=mm["loc_win"])
+                else:
+                    ft = FeatureTable(keys=z["keys"], offsets=z["offsets"],
+                                      loc_tgt=z["loc_tgt"],
+                                      loc_win=z["loc_win"])
             return cls(
                 sketch_params=sp, query_sketch_params=qp,
                 max_locations_per_feature=header["max_locations_per_feature"],

@@ -272,9 +272,16 @@ class FeatureTable:
             return None, 0
         L = pad_locs_to if pad_locs_to is not None else self.num_locations
         packed = np.zeros(L, dtype=np.int32)
-        packed[:self.num_locations] = (
-            (self.loc_tgt.astype(np.int64) << win_bits)
-            | self.loc_win.astype(np.int64)).astype(np.int32)
+        # chunked: one full-table int64 intermediate costs 2x the table
+        # bytes transiently (5.7 GB at config-3 scale) and pulls entire
+        # memmapped location arrays resident at once
+        CH = 64 << 20
+        n = self.num_locations
+        for o in range(0, n, CH):
+            e = min(n, o + CH)
+            packed[o:e] = ((self.loc_tgt[o:e].astype(np.int64) << win_bits)
+                           | self.loc_win[o:e].astype(np.int64)
+                           ).astype(np.int32)
         return packed, win_bits
 
     # ------------------------------------------------------------ device view
@@ -290,6 +297,14 @@ class FeatureTable:
         L = pad_locs_to if pad_locs_to is not None else self.num_locations
         if F < self.num_keys or L < self.num_locations:
             raise ValueError("pad size smaller than table")
+        if F == self.num_keys and L == self.num_locations:
+            # no padding: return views (GB-scale tables stay memmap-backed;
+            # fresh copies here cost 8+ GB of RSS at config-3 scale). The
+            # offsets narrowing still copies when it converts.
+            offsets = self.offsets
+            if self.offsets[-1] < 2**31 and offsets.dtype != np.int32:
+                offsets = offsets.astype(np.int32)
+            return self.keys, offsets, self.loc_tgt, self.loc_win
         keys = np.full(F, FEATURE_SENTINEL, dtype=np.uint32)
         keys[:self.num_keys] = self.keys
         offsets = np.full(F + 1, self.offsets[-1], dtype=np.int64)

@@ -265,7 +265,11 @@ def load_all_shards(dbname: str) -> Database:
     shards = []
     s = 0
     while os.path.exists(shard_path(dbname, s)):
-        shards.append(Database.load(dbname, s))
+        # memmap the shard feature tables: the fused merge then READS
+        # from evictable file-backed pages instead of holding every
+        # shard's table resident alongside the merged copy (config-3
+        # fused load peaked at 38 GB RSS in round 4)
+        shards.append(Database.load(dbname, s, mmap=True))
         s += 1
     if not shards:
         raise FileNotFoundError(

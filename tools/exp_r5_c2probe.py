@@ -20,8 +20,8 @@ from metacache_tpu.query.engine import QueryEngine
 from metacache_tpu.native import NativeBatchReader
 
 C2 = "/tmp/mc_bench_c2"
-B = 16384
-NB = 16
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
+NB = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 
 
 def main():
