@@ -292,6 +292,7 @@ def measure_build() -> dict:
 # the direct-tier cap heuristic be validated under real overflow pressure.
 # ---------------------------------------------------------------------------
 BIG = "/tmp/mc_bench_big"
+_ENGINE_BEST = {}   # engine-only rates, for e2e/engine ratios
 BIG_BASES = 24          # base genomes
 BIG_VARIANTS = 4        # strains per base (incl. the base itself)
 BIG_GLEN = 1_000_000
@@ -477,6 +478,7 @@ def measure_realistic() -> dict:
         speeds.append(total / wall)
     med = sorted(speeds)[len(speeds) // 2]
     out["realistic_pairs_per_sec"] = round(max(speeds), 1)
+    _ENGINE_BEST["realistic"] = max(speeds)
     out["realistic_median_pairs_per_sec"] = round(med, 1)
     out["realistic_h2d_probes_mbps"] = probes
     out["realistic_overflow_reads"] = overflow
@@ -974,6 +976,11 @@ def measure_end_to_end() -> dict:
     out["end_to_end_seconds"] = round(wall, 2)
     out["end_to_end_h2d_probe_mbps"] = probe
     out["end_to_end_output_lines"] = n_lines
+    # host parse+format overhead vs the engine-only rate measured in the
+    # same bench run (VERDICT r4 item 7's ratio)
+    if _ENGINE_BEST.get("realistic"):
+        out["end_to_end_vs_engine"] = round(
+            out["end_to_end_pairs_per_sec"] / _ENGINE_BEST["realistic"], 3)
     log(f"end-to-end CLI: {BIG_PAIRS} pairs in {wall:.1f}s = "
         f"{out['end_to_end_pairs_per_sec']:.0f} pairs/s "
         f"({n_lines} mapping lines; probe {probe:.0f} MB/s)")

@@ -399,16 +399,44 @@ class QueryProcessor:
         # while window k+1 computes — the TPU counterpart of the
         # reference's reader/worker/output thread overlap
         # (src/querying.h:749-830, :1088-1136).
+        # reader prefetch thread: the native parse/encode releases the GIL
+        # (ctypes call), so reading batch k+2 overlaps dispatching k+1 and
+        # formatting k — the reference runs readers on their own threads
+        # the same way (querying.h:749-830). Queue depth 2 bounds memory.
+        import queue as _queue
+        import threading as _threading
+        q: "_queue.Queue" = _queue.Queue(maxsize=2)
+
+        def _feed():
+            try:
+                for batch in reader:
+                    q.put(batch)
+                q.put(None)
+            except BaseException as e:   # surfaced by the consumer
+                q.put(e)
+
+        feeder = _threading.Thread(target=_feed, daemon=True)
+        feeder.start()
+
+        def _batches():
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+
         WINDOW = 8
         pending = []   # dispatched, not yet materialized
         windows = []   # completed dispatch windows
         first = True
-        for b in reader:
+        for b in _batches():
             if first:
                 print("compiling query pipeline (cached after first run)...",
                       file=sys.stderr)
                 first = False
-            meta = list(zip(b.indices.tolist(), b.headers))
+            meta = b          # batch: headers decode lazily on demand
             exclude_groups = None
             gts = None
             if self.exclusion:
@@ -497,8 +525,15 @@ class QueryProcessor:
         ev = opt.evaluate
         o = opt.output
         if self._fast_path_ok(gts):
+            if hasattr(meta, "hdr_buf") and \
+                    self._postprocess_fast_native(res, n, meta, out):
+                return
+            if hasattr(meta, "hdr_buf"):
+                meta = list(zip(meta.indices.tolist(), meta.headers))
             self._postprocess_fast(res, n, meta, out)
             return
+        if hasattr(meta, "hdr_buf"):
+            meta = list(zip(meta.indices.tolist(), meta.headers))
         # candidate tensors are only transferred from the device when an
         # output mode actually displays them (BatchResult is lazy; slicing
         # rows eagerly would defeat that)
@@ -589,6 +624,73 @@ class QueryProcessor:
                 and not o.show_alignment and not o.show_top_hits
                 and not o.show_all_hits and not o.show_locations
                 and not o.show_ground_truth)
+
+    def _postprocess_fast_native(self, res, n, batch,
+                                 out: TextIO) -> bool:
+        """Default-output fast path, natively formatted: per-read mapping
+        lines are built by ONE C pass over the raw header bytes and a
+        cached taxon-string table (mcio_format_lines — the reference
+        prints from its worker threads, querying.h:1088-1136). Returns
+        False to fall back to the python formatter (native lib missing or
+        buffer retry needed); stats/tax counts are only committed on
+        success so the fallback never double-counts."""
+        from .. import native
+        if native.load_mcio() is None:
+            return False
+        o = self.opt.output
+        best = res.best[:n]
+        best_rank = res.best_rank[:n]
+        mapped_only = o.map_view_mode == out_mod.MapViewMode.MAPPED_ONLY
+        buf = b""
+        if o.map_view_mode != out_mod.MapViewMode.NONE:
+            tbl = getattr(self, "_taxstr_tbl", None)
+            if tbl is None:
+                tbl = self._taxstr_tbl = {}
+                self._taxstr_list = []
+                self._taxstr_cat = b""
+                self._taxstr_soff = np.zeros(1, np.int64)
+                self._taxstr_sorted = np.zeros(0, np.int64)
+                self._taxstr_sorted_idx = np.zeros(0, np.int64)
+            grown = False
+            for nd in np.unique(best).tolist():
+                if nd not in tbl:
+                    tbl[nd] = len(self._taxstr_list)
+                    self._taxstr_list.append(out_mod.show_taxon_str(
+                        self.db, o, int(nd)).encode())
+                    grown = True
+            if grown:
+                self._taxstr_cat = b"".join(self._taxstr_list)
+                lens = np.fromiter((len(x) for x in self._taxstr_list),
+                                   np.int64, len(self._taxstr_list))
+                soff = np.zeros(len(lens) + 1, np.int64)
+                np.cumsum(lens, out=soff[1:])
+                self._taxstr_soff = soff
+                nodes = np.fromiter(tbl.keys(), np.int64, len(tbl))
+                idxs = np.fromiter(tbl.values(), np.int64, len(tbl))
+                order = np.argsort(nodes)
+                self._taxstr_sorted = nodes[order]
+                self._taxstr_sorted_idx = idxs[order]
+            sidx = self._taxstr_sorted_idx[np.searchsorted(
+                self._taxstr_sorted, best.astype(np.int64))]
+            if mapped_only:
+                sidx = np.where(best == 0, np.int64(-1), sidx)
+            got = native.format_mapping_lines(
+                batch.hdr_buf, batch.hdr_off[:n + 1], sidx,
+                self._taxstr_cat, self._taxstr_soff,
+                o.format.column.encode(),
+                batch.indices[:n] if o.show_query_ids else None)
+            if got is None:
+                return False
+            buf = got
+        # commit side effects only on success
+        self.stats.assign_batch(best_rank)
+        if o.make_tax_counts:
+            nodes, cnts = np.unique(best[best != 0], return_counts=True)
+            for nd, ct in zip(nodes.tolist(), cnts.tolist()):
+                self.tax_counts[nd] = self.tax_counts.get(nd, 0) + ct
+        if buf:
+            out.write(buf.decode("utf-8", "replace"))
+        return True
 
     def _postprocess_fast(self, res, n, meta, out: TextIO):
         o = self.opt.output

@@ -366,6 +366,45 @@ int64_t mcio_next_batch(void* vh, int64_t B, int64_t Lmax, uint8_t* packed1,
     return n;
 }
 
+// Per-read mapping lines for the default output path (the reference
+// prints from its worker threads, src/querying.h:1088-1136; here one
+// native pass builds the whole window's output buffer): for read i with
+// taxon-string index sidx[i] >= 0 writes
+// "[qid<col>]<header-first-token><col><taxstr>\n"; sidx[i] < 0 skips the
+// read (mapped-only). Returns bytes written or -1 when `cap` is too
+// small (caller retries with a larger buffer).
+int64_t mcio_format_lines(const char* hdr, const int64_t* hoff, int64_t n,
+                          const int64_t* sidx, const char* strs,
+                          const int64_t* soff, const char* col,
+                          int64_t col_len, const int32_t* qids,
+                          char* out, int64_t cap) {
+    int64_t p = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t si = sidx[i];
+        if (si < 0) continue;
+        const char* hstart = hdr + hoff[i];
+        int64_t hlen = hoff[i + 1] - hoff[i];
+        const char* sp =
+            (const char*)memchr(hstart, ' ', (size_t)hlen);
+        int64_t tok = sp ? (int64_t)(sp - hstart) : hlen;
+        int64_t slen = soff[si + 1] - soff[si];
+        if (p + tok + 2 * col_len + slen + 32 > cap) return -1;
+        if (qids) {
+            p += snprintf(out + p, 24, "%d", qids[i]);
+            memcpy(out + p, col, (size_t)col_len);
+            p += col_len;
+        }
+        memcpy(out + p, hstart, (size_t)tok);
+        p += tok;
+        memcpy(out + p, col, (size_t)col_len);
+        p += col_len;
+        memcpy(out + p, strs + soff[si], (size_t)slen);
+        p += slen;
+        out[p++] = '\n';
+    }
+    return p;
+}
+
 const char* mcio_error(void* vh) {
     Handle* h = (Handle*)vh;
     return h->error.c_str();
