@@ -663,7 +663,7 @@ def measure_config3() -> dict:
     log(f"config-3 DB: {out['config3_features']} features, "
         f"{out['config3_locations']} locations, max bucket "
         f"{out['config3_max_bucket']}, mean {float(sizes.mean()):.2f}")
-    pipeline = QueryPipelineParams(batch_size=8192, max_query_len=104,
+    pipeline = QueryPipelineParams(batch_size=16384, max_query_len=104,
                                    max_locations_per_query=256)
     eng = QueryEngine(db, ClassifyParams(lowest_rank="species"), pipeline)
     out["config3_direct_mb"] = eng._direct_mb
